@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: 1080p overlap-tiled video denoising throughput,
+frames/sec per chip, on the flagship FSRGAN generator (bf16 compute).
+
+North-star metric from BASELINE.md: >30 fps 1080p denoise per chip on TPU
+v5e.  Prints ONE JSON line:
+  {"metric": "1080p_fps_per_chip", "value": N, "unit": "frames/sec",
+   "vs_baseline": N/30}
+(the reference publishes no numbers — SURVEY.md §6 — so vs_baseline is the
+ratio to the driver-set 30 fps target).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from denoise_gan_tpu.infer.tile import extract_tiles, stitch_tiles
+    from denoise_gan_tpu.models import build_models
+
+    H, W = 1080, 1920
+    TILE, OVERLAP = 256, 16
+    FRAMES = 16
+
+    bundle = build_models("fsrgan", scale=4, fp16=True)
+    x0 = jnp.zeros((1, TILE, TILE, 3), jnp.float32)
+    variables = bundle.generator.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x0, train=False)
+
+    @jax.jit
+    def denoise_frame(frame01):
+        tiles = extract_tiles(frame01 * 2.0 - 1.0, TILE, OVERLAP)
+        out = bundle.generator.apply(variables, tiles, train=False)
+        out01 = (stitch_tiles(out, H, W, TILE, OVERLAP, 4) + 1.0) / 2.0
+        return jnp.clip(out01, 0.0, 1.0)
+
+    rng = np.random.default_rng(0)
+    frames = [jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+              for _ in range(2)]
+
+    # warmup / compile
+    denoise_frame(frames[0]).block_until_ready()
+
+    t0 = time.time()
+    out = None
+    for i in range(FRAMES):
+        out = denoise_frame(frames[i % 2])
+    out.block_until_ready()
+    elapsed = time.time() - t0
+    fps = FRAMES / elapsed
+
+    print(json.dumps({
+        "metric": "1080p_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+    print(f"# device={jax.devices()[0].device_kind} frames={FRAMES} "
+          f"elapsed={elapsed:.2f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

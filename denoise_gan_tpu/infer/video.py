@@ -1,0 +1,210 @@
+"""Streaming video denoising CLI — the inference north-star path.
+
+Rebuild of /root/reference/infer_video.py.  The reference round-trips every
+frame host<->device at batch size 1 with a synchronous .numpy() and its
+VideoWriter is commented out (SURVEY.md §3.4).  Here:
+
+* frames are decomposed into overlapping 256-tiles and the generator runs
+  **batched over tiles** (MXU-friendly static shapes), stitched on device
+  with feather blending (infer/tile.py) — or `--tile 0` reproduces the
+  reference's whole-padded-frame mode (/root/reference/infer_video.py:79-86);
+* a reader thread prefetches/decodes ahead of the device (async dispatch
+  keeps the TPU busy while OpenCV decodes);
+* on-device PSNR/SSIM scoring per frame (vs a clean reference video when
+  given, else vs the bicubic-upscaled input) — BASELINE.md metrics;
+* the output video is actually written (mp4), plus frames/sec instrumentation.
+
+Flags `--input_video --output_video --model` match the reference
+(/root/reference/infer_video.py:196-199); `--frame_start` generalizes the
+reference's hardcoded 1600 (:114).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denoise_gan_tpu.infer.image import build_forward
+from denoise_gan_tpu.infer.tile import tiled_apply
+from denoise_gan_tpu.ops.image import resize_bicubic, resize_with_crop_or_pad
+from denoise_gan_tpu.ops.metrics import psnr, ssim
+from denoise_gan_tpu.utils.config import get_path
+
+
+def decode_fourcc(fourcc) -> str:
+    """(/root/reference/infer_video.py:21-32)"""
+    fourcc_int = int(fourcc)
+    return "".join(chr(fourcc_int >> 8 * i & 0xFF) for i in range(4))
+
+
+def get_video_info(video_path: str):
+    """(/root/reference/infer_video.py:34-45)"""
+    import cv2
+    video = cv2.VideoCapture(get_path(video_path))
+    num_frames = int(video.get(cv2.CAP_PROP_FRAME_COUNT))
+    frame_width = int(video.get(cv2.CAP_PROP_FRAME_WIDTH))
+    frame_height = int(video.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    fps = video.get(cv2.CAP_PROP_FPS)
+    fourcc = int(video.get(cv2.CAP_PROP_FOURCC))
+    video.release()
+    print(f"frames: {num_frames}, fps: {fps}, width: {frame_width}, "
+          f"height: {frame_height}, fourcc: {decode_fourcc(fourcc)}/{fourcc}")
+    return num_frames, fps, frame_width, frame_height, fourcc
+
+
+def _reader(cap, q: queue.Queue, max_frames: int):
+    import cv2
+    count = 0
+    while max_frames <= 0 or count < max_frames:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        q.put(frame[..., ::-1].astype(np.float32) / 255.0)  # BGR->RGB [0,1]
+        count += 1
+    q.put(None)
+
+
+def process_video(args) -> dict:
+    import cv2
+    input_path = get_path(args.input_video)
+    num_frames, fps, fw, fh, _ = get_video_info(input_path)
+    config, bundle, forward = build_forward(get_path(args.model))
+    scale = config["scale"] if bundle.upscales else 1
+
+    cap = cv2.VideoCapture(input_path)
+    if args.frame_start:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, args.frame_start)
+
+    writer = None
+    if args.output_video:
+        out_path = get_path(args.output_video)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        writer = cv2.VideoWriter(out_path,
+                                 cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps or 25.0, (fw * scale, fh * scale))
+
+    clean_cap = None
+    if args.clean_video:
+        clean_cap = cv2.VideoCapture(get_path(args.clean_video))
+        if args.frame_start:
+            clean_cap.set(cv2.CAP_PROP_POS_FRAMES, args.frame_start)
+
+    # jitted whole-frame path (reference mode): pad to multiple of 256
+    pad_h = (fh + 255) // 256 * 256
+    pad_w = (fw + 255) // 256 * 256
+
+    @jax.jit
+    def whole_frame(x01):
+        xin = resize_with_crop_or_pad(x01, pad_h, pad_w) * 2.0 - 1.0
+        out = forward(xin[None])[0]
+        out01 = jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
+        return resize_with_crop_or_pad(out01, fh * scale, fw * scale)
+
+    @jax.jit
+    def score(out01, ref01):
+        a, b = out01[None], ref01[None]
+        return psnr(a, b)[0], ssim(a, b)[0]
+
+    @jax.jit
+    def upscale_ref(x01):
+        if scale == 1:
+            return x01
+        return jnp.clip(resize_bicubic(x01[None], fh * scale,
+                                       fw * scale)[0], 0.0, 1.0)
+
+    q: queue.Queue = queue.Queue(maxsize=8)
+    threading.Thread(target=_reader, args=(cap, q, args.max_frames),
+                     daemon=True).start()
+
+    def forward_m11(tiles_m11):
+        return forward(tiles_m11)
+
+    frames = 0
+    psnr_sum = ssim_sum = 0.0
+    t0 = time.time()
+    while True:
+        frame01 = q.get()
+        if frame01 is None:
+            break
+        x = jnp.asarray(frame01)
+        if args.tile:
+            out01 = tiled_apply(lambda t: forward_m11(t),
+                                x * 2.0 - 1.0, args.tile, args.tile_overlap,
+                                scale, batch=args.tile_batch)
+            out01 = jnp.clip((out01 + 1.0) / 2.0, 0.0, 1.0)
+        else:
+            out01 = whole_frame(x)
+
+        if args.score:
+            if clean_cap is not None:
+                ok, clean = clean_cap.read()
+                ref = jnp.asarray(clean[..., ::-1].astype(np.float32) / 255.0) \
+                    if ok else upscale_ref(x)
+            else:
+                ref = upscale_ref(x)
+            p, s = score(out01, ref)
+            psnr_sum += float(p)
+            ssim_sum += float(s)
+
+        if writer is not None:
+            arr = np.asarray((out01 * 255.0).astype(jnp.uint8))
+            writer.write(arr[..., ::-1])
+        frames += 1
+        if args.verbose:
+            print(f"frame {frames}", flush=True)
+
+    jax.effects_barrier()
+    elapsed = time.time() - t0
+    if writer is not None:
+        writer.release()
+    cap.release()
+
+    result = {
+        "frames": frames,
+        "seconds": elapsed,
+        "fps": frames / max(elapsed, 1e-9),
+        "psnr": psnr_sum / frames if args.score and frames else None,
+        "ssim": ssim_sum / frames if args.score and frames else None,
+    }
+    print(f"processed {frames} frames in {elapsed:.2f}s "
+          f"({result['fps']:.2f} fps/chip)"
+          + (f", psnr={result['psnr']:.2f}, ssim={result['ssim']:.4f}"
+             if args.score else ""))
+    return result
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(description="denoise_gan_tpu video inference")
+    parser.add_argument("--input_video", default="./video_in/in.mp4", type=str,
+                        help="Path to input video")
+    parser.add_argument("--output_video", default="./video_out/out.mp4",
+                        type=str, help="Path to output high res video.")
+    parser.add_argument("--model", default="./models/fsrgan.dgt", type=str,
+                        help="Path to model export (.dgt).")
+    parser.add_argument("--frame_start", default=0, type=int)
+    parser.add_argument("--max_frames", default=0, type=int)
+    parser.add_argument("--tile", default=256, type=int,
+                        help="0 = whole-frame mode (reference behavior)")
+    parser.add_argument("--tile_overlap", default=32, type=int)
+    parser.add_argument("--tile_batch", default=0, type=int)
+    parser.add_argument("--score", default=1, type=int,
+                        help="compute on-device PSNR/SSIM per frame")
+    parser.add_argument("--clean_video", default="", type=str,
+                        help="optional ground-truth video for scoring")
+    parser.add_argument("--verbose", default=0, type=int)
+    return parser
+
+
+def main(argv=None):
+    process_video(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,7 @@ def sobel_edges(image: jax.Array) -> jax.Array:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     # output channels are ordered (c0_gy, c0_gx, c1_gy, ...) -> (n,h,w,c,2)
     return out.reshape(n, h, w, c, 2)

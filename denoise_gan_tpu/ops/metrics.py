@@ -34,6 +34,7 @@ def _depthwise(x: jax.Array, kernel2d: jax.Array) -> jax.Array:
         x, k, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -1,0 +1,195 @@
+"""Training loop + trainer entry point shared by all four families.
+
+The shell around the jitted step, rebuilding the reference trainers' mains
+(/root/reference/train_srgan.py:180-259): directory layout, steps/epoch and
+save_iter clamping, checkpoint restore-if-retrain, the epoch loop with
+per-epoch wall-clock prints, every-5-epoch checkpoints, TensorBoard scalar +
+image summaries every `save_iter` steps, and final params-only exports (the
+`.h5` analog).  Adds: steps/sec + on-device PSNR/SSIM instrumentation
+(BASELINE.md requires them; the reference measured nothing).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denoise_gan_tpu.data.degrade import degrade_pair
+from denoise_gan_tpu.data.pipeline import DataPipeline
+from denoise_gan_tpu.io.checkpoint import CheckpointManager, export_generator
+from denoise_gan_tpu.models import ModelBundle, build_models
+from denoise_gan_tpu.models.vgg import init_vgg_params
+from denoise_gan_tpu.ops.image import (
+    high_pass_x_y, sobel_variation, to_uint8, total_variation_map,
+)
+from denoise_gan_tpu.parallel.mesh import init_distributed, make_mesh, shard_batch
+from denoise_gan_tpu.train.state import GANTrainState, create_train_state, param_count
+from denoise_gan_tpu.train.step import build_train_step, jit_train_step
+from denoise_gan_tpu.utils.config import TrainConfig, get_path
+from denoise_gan_tpu.utils.logging import SummaryWriter, timestamped_run_dir
+
+SCALAR_KEYS = ("gen_loss", "adv_loss", "content_loss", "mse_loss", "mae_loss",
+               "var_loss", "identity_loss", "disc_loss", "psnr", "ssim")
+
+
+def build_summary_fn(bundle: ModelBundle, cfg: TrainConfig):
+    """One jitted program computing every TensorBoard image panel on device
+    (first sample of the batch), returning uint8 HWC arrays
+    (/root/reference/train_srgan.py:152-174)."""
+
+    @jax.jit
+    def summaries(gen_params, gen_stats, hr01):
+        img_in, img_tgt = degrade_pair(hr01[:1], cfg.scale, cfg.jpeg_quality)
+        img_gen = bundle.generator.apply(
+            {"params": gen_params, "batch_stats": gen_stats},
+            img_in, train=False)
+        err = img_gen - img_tgt
+        dx_gen, dy_gen = high_pass_x_y(img_gen)
+        dx_tgt, dy_tgt = high_pass_x_y(img_tgt)
+        panels = {
+            "Images/Input": to_uint8(img_in),
+            "Images/Target": to_uint8(img_tgt),
+            "Images/Generated": to_uint8(img_gen),
+            "Error/Square Error (MSE)": to_uint8(jnp.square(err), norm=False),
+            "Error/Absolute Error (MAE)": to_uint8(jnp.abs(err), norm=False),
+            "Error/Sobel Variation": to_uint8(sobel_variation(err), norm=False),
+            "Error/Total Variation": to_uint8(total_variation_map(err), norm=False),
+            "Image Gradients/Sobel Input": to_uint8(sobel_variation(img_in), norm=False),
+            "Image Gradients/Sobel Target": to_uint8(sobel_variation(img_tgt), norm=False),
+            "Image Gradients/Sobel Generated": to_uint8(sobel_variation(img_gen), norm=False),
+            "Image Gradients/dx Target": to_uint8(dx_tgt, norm=False),
+            "Image Gradients/dy Target": to_uint8(dy_tgt, norm=False),
+            "Image Gradients/dx Generated": to_uint8(dx_gen, norm=False),
+            "Image Gradients/dy Generated": to_uint8(dy_gen, norm=False),
+            "Image Gradients/Total Var Target": to_uint8(total_variation_map(img_tgt), norm=False),
+            "Image Gradients/Total Var Generated": to_uint8(total_variation_map(img_gen), norm=False),
+        }
+        return {k: v[0] for k, v in panels.items()}
+
+    return summaries
+
+
+def train(cfg: TrainConfig, family: str) -> GANTrainState:
+    """Full training run; returns the final state."""
+    init_distributed()
+    mesh = make_mesh(cfg.num_devices)
+    n_dev = mesh.devices.size
+    if cfg.batch_size % max(n_dev, 1) and cfg.batch_size > 1:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by {n_dev} devices")
+    use_mesh = n_dev > 1 and cfg.batch_size % n_dev == 0
+
+    # Directory layout (/root/reference/train_srgan.py:188-195)
+    ckpt_dir = get_path("models/checkpoints", cfg.model_name)
+    backup_dir = get_path("models/backups", cfg.model_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(backup_dir, exist_ok=True)
+    os.makedirs(cfg.logdir, exist_ok=True)
+
+    pipeline = DataPipeline(cfg, process_index=jax.process_index(),
+                            process_count=jax.process_count())
+    steps_per_epoch = len(pipeline)
+    print(f"Steps per epoch: {steps_per_epoch}")
+    if cfg.save_iter > steps_per_epoch:
+        cfg.save_iter = max(steps_per_epoch, 1)
+        print(f"Modified save_iter: {cfg.save_iter}")
+
+    run_dir = timestamped_run_dir(cfg.logdir, cfg.model_name)
+    writer = SummaryWriter(run_dir)
+    print("Created Tensorboard Summary here:", run_dir)
+
+    bundle = build_models(family, scale=cfg.scale, fp16=bool(cfg.fp16))
+    state = create_train_state(bundle, cfg, jax.random.key(cfg.seed))
+    print(f"Generator params: {param_count(state.gen.params):,}  "
+          f"Discriminator params: {param_count(state.disc.params):,}  "
+          f"devices: {n_dev}")
+    vgg_params = init_vgg_params()
+
+    manager = CheckpointManager(ckpt_dir, max_to_keep=cfg.max_to_keep)
+    if cfg.retrain and manager.latest_step() is not None:
+        print("Restoring checkpoint from here:", ckpt_dir)
+        state = manager.restore(state)
+
+    step_fn = jit_train_step(build_train_step(bundle, cfg),
+                             mesh if use_mesh else None)
+    summary_fn = build_summary_fn(bundle, cfg)
+    rng = jax.random.key(cfg.seed + 1)
+
+    metrics = {}
+    for epoch in range(cfg.epochs):
+        state = state.replace(epoch=state.epoch + 1)
+        print(f"|== Starting epoch: {int(state.epoch)}, ", end="", flush=True)
+        train_begin = time.time()
+        last_batch = None
+        for hr in pipeline.epoch():
+            hr = jnp.asarray(hr)
+            if use_mesh:
+                hr = shard_batch(hr, mesh)
+            last_batch = hr
+            state, metrics = step_fn(state, vgg_params, hr, rng)
+            it = int(state.step)
+            if it % cfg.save_iter == 0:
+                host_metrics = {k: float(metrics[k]) for k in SCALAR_KEYS
+                                if k in metrics}
+                writer.scalars(
+                    {f"Generator Losses/{k}": v
+                     for k, v in host_metrics.items()
+                     if k not in ("disc_loss", "psnr", "ssim")}, it)
+                writer.scalar("Discriminator Losses/disc_loss",
+                              host_metrics["disc_loss"], it)
+                writer.scalar("Quality/psnr", host_metrics["psnr"], it)
+                writer.scalar("Quality/ssim", host_metrics["ssim"], it)
+                if cfg.log_images and last_batch is not None:
+                    panels = summary_fn(state.gen.params,
+                                        state.gen.batch_stats, last_batch)
+                    for tag, img in panels.items():
+                        writer.image(tag, np.asarray(img), it)
+                writer.flush()
+        jax.block_until_ready(metrics)
+        train_time = time.time() - train_begin
+
+        if cfg.ckpt and epoch % cfg.ckpt_every_epochs == 0:
+            manager.save(int(state.step), state)
+        total_time = time.time() - train_begin
+        sps = steps_per_epoch / max(train_time, 1e-9)
+        print(
+            f"disc_loss: {float(metrics['disc_loss']):.2e}, "
+            f"adv_loss: {float(metrics['adv_loss']):.2e}, "
+            f"vgg: {float(metrics['content_loss']):.2e}, "
+            f"mse: {float(metrics['mse_loss']):.2e}, "
+            f"mae: {float(metrics['mae_loss']):.2e}, "
+            f"psnr: {float(metrics['psnr']):.2f}, "
+            f"iters: {int(state.step)}, train: {train_time:0.2f}, "
+            f"total: {total_time:0.2f}, steps/s: {sps:0.2f} ==|")
+
+    # Final exports (the reference's final .h5 saves,
+    # /root/reference/train_srgan.py:256-259)
+    if cfg.save_model:
+        short = time.strftime("%m%d_%H%M")
+        export_generator(get_path("models", f"{cfg.model_name}.dgt"),
+                         family, cfg.scale, state.gen.params,
+                         state.gen.batch_stats)
+        export_generator(os.path.join(backup_dir,
+                                      f"{cfg.model_name}_{short}.dgt"),
+                         family, cfg.scale, state.gen.params,
+                         state.gen.batch_stats)
+    writer.close()
+    manager.close()
+    return state
+
+
+def main(family: str, argv: list[str] | None = None) -> GANTrainState:
+    from denoise_gan_tpu.utils.config import parse_args
+
+    cfg = parse_args(family, argv)
+    print("COMPUTATION PARAMETERS")
+    print("Compute dtype: %s" % ("bfloat16" if cfg.fp16 else "float32"))
+    print("Variable dtype: float32")
+    cfg.echo()
+    return train(cfg, family)
