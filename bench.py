@@ -35,10 +35,21 @@ def main() -> None:
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         x0, train=False)
 
+    CHUNK = 8  # tiles per generator call: bounds activation memory while
+               # keeping the MXU batch large
+
     @jax.jit
     def denoise_frame(frame01):
         tiles = extract_tiles(frame01 * 2.0 - 1.0, TILE, OVERLAP)
-        out = bundle.generator.apply(variables, tiles, train=False)
+        n = tiles.shape[0]
+        pad = (-n) % CHUNK
+        if pad:
+            tiles = jnp.concatenate([tiles, tiles[:pad]], axis=0)
+        chunks = tiles.reshape(-1, CHUNK, TILE, TILE, 3)
+        out = jax.lax.map(
+            lambda c: bundle.generator.apply(variables, c, train=False),
+            chunks)
+        out = out.reshape(-1, TILE * 4, TILE * 4, 3)[:n]
         out01 = (stitch_tiles(out, H, W, TILE, OVERLAP, 4) + 1.0) / 2.0
         return jnp.clip(out01, 0.0, 1.0)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -73,16 +74,33 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        orig_dtype = x.dtype
-        y = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            scale_init=self.gamma_init,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(self.dtype or orig_dtype)
+        c = x.shape[-1]
+        reduce_axes = tuple(range(x.ndim - 1))
+        scale = self.param("scale", self.gamma_init, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            # biased variance, like tf.nn.moments under Keras BN; under a
+            # sharded batch axis GSPMD reduces over the GLOBAL batch.
+            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+            return y.astype(self.dtype or x.dtype)
+        # Eval fast path: BN with running stats is a per-channel affine; fold
+        # it to (mul, add) in f32 (tiny vectors), then apply in the compute
+        # dtype — no full-tensor f32 round trip, and XLA fuses the affine into
+        # the producing conv's epilogue.
+        mul = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+        add = bias - ra_mean.value * mul
+        return x * mul.astype(x.dtype) + add.astype(x.dtype)
 
 
 class Conv(nn.Conv):
