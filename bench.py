@@ -22,7 +22,8 @@ import numpy as np
 
 
 def main() -> None:
-    from denoise_gan_tpu.infer.tile import extract_tiles, stitch_tiles
+    from denoise_gan_tpu.infer.engine import build_frame_engine
+    from denoise_gan_tpu.infer.fast import build_fast_coarse
     from denoise_gan_tpu.models import build_models
 
     H, W = 1080, 1920
@@ -34,24 +35,13 @@ def main() -> None:
     variables = bundle.generator.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         x0, train=False)
-
-    CHUNK = 8  # tiles per generator call: bounds activation memory while
-               # keeping the MXU batch large
-
-    @jax.jit
-    def denoise_frame(frame01):
-        tiles = extract_tiles(frame01 * 2.0 - 1.0, TILE, OVERLAP)
-        n = tiles.shape[0]
-        pad = (-n) % CHUNK
-        if pad:
-            tiles = jnp.concatenate([tiles, tiles[:pad]], axis=0)
-        chunks = tiles.reshape(-1, CHUNK, TILE, TILE, 3)
-        out = jax.lax.map(
-            lambda c: bundle.generator.apply(variables, c, train=False),
-            chunks)
-        out = out.reshape(-1, TILE * 4, TILE * 4, 3)[:n]
-        out01 = (stitch_tiles(out, H, W, TILE, OVERLAP, 4) + 1.0) / 2.0
-        return jnp.clip(out01, 0.0, 1.0)
+    # coarse-space tail rewrite + phase-space stitching (infer/fast.py,
+    # infer/engine.py): exact, avoids all high-resolution intermediates
+    forward_coarse, scale = build_fast_coarse(
+        {"family": "fsrgan", "scale": 4}, variables["params"],
+        variables.get("batch_stats", {}))
+    denoise_frame = build_frame_engine(forward_coarse, H, W, scale,
+                                       TILE, OVERLAP)
 
     rng = np.random.default_rng(0)
     frames = [jnp.asarray(rng.random((H, W, 3)), jnp.float32)

@@ -73,6 +73,17 @@ def decode_image(path: str) -> np.ndarray:
     raise RuntimeError("no image decoder available (cv2/PIL)")
 
 
+def load_tiff(path: str) -> np.ndarray:
+    """Grayscale TIFF via cv2, expanded to a trailing channel dim — parity
+    with the reference's unused load_tiff (/root/reference/dataloader.py:61-73)."""
+    if not _HAS_CV2:
+        raise RuntimeError("load_tiff requires cv2")
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise IOError(f"cannot decode {path}")
+    return img[..., None]
+
+
 def _resize_up_if_needed(img: np.ndarray, crop: int) -> np.ndarray:
     """If smaller than the crop, resize to (crop, crop) bicubic
     (/root/reference/dataloader.py:51-57)."""

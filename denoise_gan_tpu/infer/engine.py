@@ -1,0 +1,130 @@
+"""Whole-frame streaming inference engine: extract -> generator (coarse
+tail) -> phase-space overlap-add stitch -> single depth_to_space.
+
+Two TPU-specific design points:
+
+1. **Phase-space stitching.**  Blending 4x-upscaled tiles at fine resolution
+   means updates on (H*4, W*4, 3) canvases — 3-channel tensors at huge
+   spatial sizes, which XLA lays out with up to 128x lane padding (measured:
+   a 12MB slice allocated 1.5GB).  Instead the generator's coarse tail
+   (infer/fast.py) stops *before* its final depth_to_space, tiles are blended
+   on an (H, W, 3*scale^2) canvas — 48 channels, lane-friendly — and the fine
+   image is produced by one depth_to_space at the end.
+
+2. **Regular-grid overlap-add.**  Sequential dynamic_update_slice stitching
+   copies the whole canvas per tile (measured 69ms/frame).  The frame is
+   edge-padded so tiles form an exact (ny, nx) grid with stride = tile -
+   overlap; since overlap < stride every output pixel is covered by at most
+   2 tiles per axis, so the blend is two shifted adds per axis — pure static
+   reshape/pad/add, ~3 passes over the canvas.
+
+Feather weights are per phase channel, so the result equals fine-space
+feathering exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denoise_gan_tpu.infer.tile import _feather
+from denoise_gan_tpu.ops.image import depth_to_space
+
+
+def _phase_feather(tile: int, scale: int, overlap: int, c: int) -> np.ndarray:
+    """(tile, tile, c*scale^2) feather weights: the fine-space feather
+    rearranged into phase channels (channel (e*scale+f)*c + o receives
+    w_fine(scale*i+e, scale*j+f))."""
+    fine = _feather(tile, scale, overlap)                 # (tile*s, tile*s)
+    t, s = tile, scale
+    w = fine.reshape(t, s, t, s).transpose(0, 2, 1, 3).reshape(t, t, s * s)
+    return np.repeat(w, c, axis=-1)                       # phase-major, c fastest
+
+
+def _grid(size: int, tile: int, stride: int) -> int:
+    """Number of grid cells covering `size` (after padding)."""
+    if size <= tile:
+        return 1
+    return math.ceil((size - tile) / stride) + 1
+
+
+def overlap_add(tiles: jax.Array, ny: int, nx: int, tile: int, stride: int
+                ) -> jax.Array:
+    """(ny*nx, t, t, C) weighted tiles on a regular stride grid ->
+    (ny*stride+ov, nx*stride+ov, C) canvas, ov = t - stride."""
+    t = tile
+    ov = t - stride
+    c = tiles.shape[-1]
+    x = tiles.reshape(ny, nx, t, t, c)
+
+    # rows: head [0:stride] + previous tile's tail [stride:] shifted one cell
+    head = x[:, :, :stride]
+    tail = x[:, :, stride:]                              # (ny, nx, ov, t, c)
+    tail_shift = jnp.pad(tail, ((1, 0), (0, 0), (0, stride - ov),
+                                (0, 0), (0, 0)))[:ny]
+    rows = head + tail_shift                             # (ny, nx, stride, t, c)
+    rows = rows.transpose(0, 2, 1, 3, 4).reshape(ny * stride, nx, t, c)
+    last = tail[-1].transpose(1, 0, 2, 3)                # (ov, nx, t, c)
+    rows = jnp.concatenate([rows, last], axis=0)         # (H', nx, t, c)
+
+    # cols: same along the tile-x axis
+    head = rows[:, :, :stride]
+    tail = rows[:, :, stride:]                           # (H', nx, ov, c)
+    tail_shift = jnp.pad(tail, ((0, 0), (1, 0), (0, stride - ov),
+                                (0, 0)))[:, :nx]
+    cols = head + tail_shift                             # (H', nx, stride, c)
+    cols = cols.reshape(rows.shape[0], nx * stride, c)
+    lastc = tail[:, -1]                                  # (H', ov, c)
+    return jnp.concatenate([cols, lastc], axis=1)        # (H', W', c)
+
+
+def extract_grid(frame: jax.Array, ny: int, nx: int, tile: int, stride: int
+                 ) -> jax.Array:
+    """(Hp, Wp, C) padded frame -> (ny*nx, t, t, C) regular-grid tiles."""
+    c = frame.shape[-1]
+    tiles = [jax.lax.dynamic_slice(frame, (i * stride, j * stride, 0),
+                                   (tile, tile, c))
+             for i in range(ny) for j in range(nx)]
+    return jnp.stack(tiles)
+
+
+def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
+                       tile: int = 256, overlap: int = 16,
+                       channels: int = 3):
+    """Build a jitted frame01 (H, W, 3) -> out01 (H*scale, W*scale, 3) fn.
+
+    `forward_coarse`: (N, tile, tile, 3) [-1,1] -> (N, tile, tile,
+    channels*scale^2) phase-channel output in [-1,1] (e.g. the fast tail with
+    final_d2s=False).  scale == 1 works too (plain feather stitching)."""
+    stride = tile - overlap
+    ny = _grid(height, tile, stride)
+    nx = _grid(width, tile, stride)
+    pad_h = (ny - 1) * stride + tile
+    pad_w = (nx - 1) * stride + tile
+    cc = channels * scale * scale
+    weight = jnp.asarray(_phase_feather(tile, scale, overlap, channels))
+
+    inv_norm = jax.jit(lambda: 1.0 / jnp.maximum(overlap_add(
+        jnp.broadcast_to(weight, (ny * nx, tile, tile, cc)),
+        ny, nx, tile, stride), 1e-8))()
+
+    @jax.jit
+    def run(frame01, inv_norm):
+        x = frame01 * 2.0 - 1.0
+        x = jnp.pad(x, ((0, pad_h - height), (0, pad_w - width), (0, 0)),
+                    mode="edge")
+        tiles = extract_grid(x, ny, nx, tile, stride)
+        out = forward_coarse(tiles)                      # (N, t, t, cc)
+        acc = overlap_add(out.astype(jnp.float32) * weight,
+                          ny, nx, tile, stride)
+        acc = acc * inv_norm
+        out01 = jnp.clip((acc + 1.0) / 2.0, 0.0, 1.0)
+        if scale > 1:
+            out01 = depth_to_space(out01[None], scale)[0]
+        return out01[:height * scale, :width * scale]
+
+    return functools.partial(run, inv_norm=inv_norm)

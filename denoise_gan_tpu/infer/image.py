@@ -31,10 +31,17 @@ from denoise_gan_tpu.infer.tile import tiled_apply
 from denoise_gan_tpu.utils.config import get_path
 
 
-def build_forward(model_path: str):
-    """Load an export and return (config, jitted NHWC->NHWC forward)."""
+def build_forward(model_path: str, fast: bool = True):
+    """Load an export and return (config, bundle, jitted NHWC->NHWC forward).
+
+    fast=True uses the coarse-space tail rewrite (infer/fast.py) with bf16
+    compute for srgan/fsrgan — numerically equivalent, much faster on TPU."""
     config, params, batch_stats = load_generator(model_path)
     bundle = build_models(config["family"], scale=config["scale"])
+
+    if fast:
+        from denoise_gan_tpu.infer.fast import build_fast_forward
+        return config, bundle, build_fast_forward(config, params, batch_stats)
 
     @jax.jit
     def forward(x):
@@ -62,7 +69,7 @@ def run(args) -> list[str]:
                    for x in sorted(os.listdir(image_dir))
                    if os.path.isfile(os.path.join(image_dir, x))]
 
-    config, bundle, forward = build_forward(get_path(args.model))
+    config, bundle, forward = build_forward(get_path(args.model), fast=bool(args.fast))
     scale = config["scale"] if bundle.upscales else 1
     written = []
     for image_path in image_paths:
@@ -96,6 +103,8 @@ def build_parser() -> ArgumentParser:
                         help="Tile size for overlap-tiled inference (0=whole image)")
     parser.add_argument("--tile_overlap", default=32, type=int)
     parser.add_argument("--tile_batch", default=0, type=int)
+    parser.add_argument("--fast", default=1, type=int,
+                        help="coarse-space bf16 inference rewrite (infer/fast.py)")
     return parser
 
 

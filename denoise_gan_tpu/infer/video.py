@@ -75,7 +75,7 @@ def process_video(args) -> dict:
     import cv2
     input_path = get_path(args.input_video)
     num_frames, fps, fw, fh, _ = get_video_info(input_path)
-    config, bundle, forward = build_forward(get_path(args.model))
+    config, bundle, forward = build_forward(get_path(args.model), fast=bool(args.fast))
     scale = config["scale"] if bundle.upscales else 1
 
     cap = cv2.VideoCapture(input_path)
@@ -198,6 +198,8 @@ def build_parser() -> ArgumentParser:
                         help="compute on-device PSNR/SSIM per frame")
     parser.add_argument("--clean_video", default="", type=str,
                         help="optional ground-truth video for scoring")
+    parser.add_argument("--fast", default=1, type=int,
+                        help="coarse-space bf16 inference rewrite (infer/fast.py)")
     parser.add_argument("--verbose", default=0, type=int)
     return parser
 

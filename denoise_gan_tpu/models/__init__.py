@@ -30,9 +30,13 @@ class ModelBundle:
     upscales: bool              # generator changes resolution (srgan/fsrgan)
 
 
-def build_models(family: str, scale: int = 4, fp16: bool = False) -> ModelBundle:
+def build_models(family: str, scale: int = 4, fp16: bool = False,
+                 disc_variant: str = "fast") -> ModelBundle:
     """Construct the family's modules.  `fp16` selects bf16 compute on TPU
-    (flag name kept for CLI parity with the reference)."""
+    (flag name kept for CLI parity with the reference).  `disc_variant`
+    selects srgan's discriminator: 'fast' (the reference's built default,
+    /root/reference/srgan.py:62) or 'paper' (the SRGAN-paper discriminator the
+    reference keeps unbuilt at /root/reference/srgan.py:61, 188-230)."""
     dtype = jnp.bfloat16 if fp16 else None
     if family == "autoencoder":
         return ModelBundle(
@@ -49,10 +53,14 @@ def build_models(family: str, scale: int = 4, fp16: bool = False) -> ModelBundle
             conditional_disc=True, disc_sigmoid=False, upscales=False,
         )
     if family == "srgan":
+        if disc_variant == "paper":
+            disc = SRGANPaperDiscriminator(df=64, dtype=dtype)
+        else:
+            disc = PatchDiscriminator(df=32, sigmoid_head=False, dtype=dtype)
         return ModelBundle(
             name=family,
             generator=SRGANGenerator(scale=scale, dtype=dtype),
-            discriminator=PatchDiscriminator(df=32, sigmoid_head=False, dtype=dtype),
+            discriminator=disc,
             conditional_disc=False, disc_sigmoid=False, upscales=True,
         )
     if family == "fsrgan":

@@ -71,10 +71,9 @@ class InvertedResidual(nn.Module):
         return x
 
 
-class FSRGANGenerator(nn.Module):
-    """Mobile generator: gf=32, 6 inverted residuals, 2 pixel-shuffle stages
-    (fixed 4x upsample, matching the reference regardless of --scale,
-    /root/reference/fsrgan.py:213-214)."""
+class FSRGANBody(nn.Module):
+    """Stem + inverted residuals + post-conv with global skip; operates at
+    input resolution, gf channels."""
 
     gf: int = 32
     n_residual_blocks: int = 6
@@ -94,10 +93,37 @@ class FSRGANGenerator(nn.Module):
 
         c2 = conv3x3(self.gf, dtype=self.dtype)(r)
         c2 = BatchNorm(dtype=self.dtype)(c2, train)
-        c2 = c2 + c1
+        return c2 + c1
 
-        u1 = PixelShuffleUp(self.gf * 4, dtype=self.dtype)(c2)
-        u2 = PixelShuffleUp(self.gf * 4, dtype=self.dtype)(u1)
 
-        out = conv3x3(3, dtype=self.dtype)(u2)
+class FSRGANTail(nn.Module):
+    """Two pixel-shuffle 2x stages + 3-channel conv + f32 tanh
+    (/root/reference/fsrgan.py:213-218).  At inference the algebraically
+    equivalent coarse-space rewrite in infer/fast.py consumes these same
+    parameters and runs ~5x faster on TPU."""
+
+    gf: int = 32
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        u1 = PixelShuffleUp(self.gf * 4, dtype=self.dtype, name="up1")(x)
+        u2 = PixelShuffleUp(self.gf * 4, dtype=self.dtype, name="up2")(u1)
+        out = conv3x3(3, dtype=self.dtype, name="out_conv")(u2)
         return jnp.tanh(out.astype(jnp.float32))  # f32 tanh (fsrgan.py:218)
+
+
+class FSRGANGenerator(nn.Module):
+    """Mobile generator: gf=32, 6 inverted residuals, 2 pixel-shuffle stages
+    (fixed 4x upsample, matching the reference regardless of --scale,
+    /root/reference/fsrgan.py:213-214)."""
+
+    gf: int = 32
+    n_residual_blocks: int = 6
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = FSRGANBody(self.gf, self.n_residual_blocks, dtype=self.dtype,
+                       name="body")(x, train)
+        return FSRGANTail(self.gf, dtype=self.dtype, name="tail")(h)

@@ -146,3 +146,39 @@ def to_uint8(image: jax.Array, norm: bool = True) -> jax.Array:
     """[-1,1] float -> uint8 panel (/root/reference/train_srgan.py:36-42)."""
     image = renorm(image) if norm else autoscale(image)
     return (255.0 * image).astype(jnp.uint8)
+
+
+# --- non-overlapping tiling (reference parity helpers) ----------------------
+# The production inference path uses the overlap-tiled infer/tile.py; these
+# mirror the reference's dormant space_to_depth helpers exactly
+# (/root/reference/infer_video.py:47-55).
+
+def im2patch(img: jax.Array, crop: int = 256) -> jax.Array:
+    """NHWC (1, H, W, C) -> (H*W/crop^2, crop, crop, C), non-overlapping."""
+    c = img.shape[-1]
+    return space_to_depth(img, crop).reshape(-1, crop, crop, c)
+
+
+def patch2im(imgs: jax.Array, patch_shape=(4, 4)) -> jax.Array:
+    """Inverse of im2patch for a (N, crop, crop, C) batch laid out row-major
+    over a patch_shape grid."""
+    crop = imgs.shape[1]
+    return depth_to_space(
+        imgs.reshape(1, patch_shape[0], patch_shape[1], -1), crop)
+
+
+def laplacian(image: jax.Array) -> jax.Array:
+    """3x3 Laplacian filter per channel (cv2.Laplacian CV_32F equivalent,
+    /root/reference/infer_video.py:57-63), REPLICATE border."""
+    sq = image.ndim == 3
+    if sq:
+        image = image[None]
+    n, h, w, c = image.shape
+    k2 = jnp.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
+    k = jnp.tile(k2[:, :, None, None], (1, 1, 1, c))
+    pad = jnp.pad(image, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        pad.astype(jnp.float32), k.astype(jnp.float32), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
+    return out[0] if sq else out

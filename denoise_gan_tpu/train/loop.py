@@ -12,6 +12,7 @@ image summaries every `save_iter` steps, and final params-only exports (the
 from __future__ import annotations
 
 import os
+import signal
 import time
 from functools import partial
 from typing import Any
@@ -33,6 +34,7 @@ from denoise_gan_tpu.train.state import GANTrainState, create_train_state, param
 from denoise_gan_tpu.train.step import build_train_step, jit_train_step
 from denoise_gan_tpu.utils.config import TrainConfig, get_path
 from denoise_gan_tpu.utils.logging import SummaryWriter, timestamped_run_dir
+from denoise_gan_tpu.utils.profiling import StepTimer, check_finite, trace
 
 SCALAR_KEYS = ("gen_loss", "adv_loss", "content_loss", "mse_loss", "mae_loss",
                "var_loss", "identity_loss", "disc_loss", "psnr", "ssim")
@@ -120,6 +122,19 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
                              mesh if use_mesh else None)
     summary_fn = build_summary_fn(bundle, cfg)
     rng = jax.random.key(cfg.seed + 1)
+    timer = StepTimer(cfg.batch_size)
+
+    # Preemption handling: checkpoint at the next log point on SIGTERM
+    # (elastic-recovery hook the reference lacks, SURVEY.md §5).
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not on the main thread (e.g. under some test runners)
 
     metrics = {}
     for epoch in range(cfg.epochs):
@@ -127,16 +142,29 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
         print(f"|== Starting epoch: {int(state.epoch)}, ", end="", flush=True)
         train_begin = time.time()
         last_batch = None
-        for hr in pipeline.epoch():
-            hr = jnp.asarray(hr)
-            if use_mesh:
-                hr = shard_batch(hr, mesh)
-            last_batch = hr
-            state, metrics = step_fn(state, vgg_params, hr, rng)
-            it = int(state.step)
-            if it % cfg.save_iter == 0:
+        profile_this_epoch = bool(cfg.profile_dir) and epoch == min(
+            1, cfg.epochs - 1)  # profile a post-compile epoch
+        with trace(cfg.profile_dir if profile_this_epoch else None):
+            for hr in pipeline.epoch():
+                hr = jnp.asarray(hr)
+                if use_mesh:
+                    hr = shard_batch(hr, mesh)
+                last_batch = hr
+                state, metrics = step_fn(state, vgg_params, hr, rng)
+                timer.tick()
+                it = int(state.step)
+                if preempted["flag"]:
+                    print(f"\nSIGTERM: checkpointing at step {it} and exiting")
+                    manager.save(it, state)
+                    writer.close()
+                    manager.close()
+                    return state
+                if it % cfg.save_iter != 0:
+                    continue
                 host_metrics = {k: float(metrics[k]) for k in SCALAR_KEYS
                                 if k in metrics}
+                if cfg.check_numerics:
+                    check_finite(host_metrics, it)
                 writer.scalars(
                     {f"Generator Losses/{k}": v
                      for k, v in host_metrics.items()
@@ -167,6 +195,12 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
             f"psnr: {float(metrics['psnr']):.2f}, "
             f"iters: {int(state.step)}, train: {train_time:0.2f}, "
             f"total: {total_time:0.2f}, steps/s: {sps:0.2f} ==|")
+
+    # Final checkpoint so resume continues from the last step (the reference
+    # only checkpointed every 5 epochs and lost the trailing epochs; pix2pix
+    # alone saved at exit, /root/reference/train_pix2pix.py:193)
+    if cfg.ckpt:
+        manager.save(int(state.step), state)
 
     # Final exports (the reference's final .h5 saves,
     # /root/reference/train_srgan.py:256-259)

@@ -64,6 +64,8 @@ class TrainConfig:
     steps_per_epoch: int = 0      # 0 = derived from dataset size
     log_images: int = 1           # write TensorBoard image panels
     bf16_rule: str = "compute"    # 'compute': bf16 activations, f32 params
+    profile_dir: str = ""         # capture a jax.profiler trace of one epoch
+    check_numerics: int = 1       # raise on NaN/Inf losses at log points
 
     # ------------------------------------------------------------------
     def suffix_model_name(self) -> None:

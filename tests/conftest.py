@@ -14,8 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
 
+import jax
 import numpy as np
 import pytest
+
+# Parity tests compare against f32 TF oracles; JAX's default conv/matmul
+# precision on some backends is bf16-ish, which shows up as ~1e-3 noise.
+jax.config.update("jax_default_matmul_precision", "float32")
 
 
 @pytest.fixture
