@@ -53,6 +53,9 @@ def build_forward(model_path: str, fast: bool = True):
 
 def save_image_bgr(path: str, rgb01: np.ndarray) -> None:
     arr = np.clip(rgb01 * 255.0, 0, 255).astype(np.uint8)
+    if path.endswith(".npy"):  # raw-array round trip (tests/synthetic data)
+        np.save(path, arr)
+        return
     try:
         import cv2
         cv2.imwrite(path, arr[..., ::-1])

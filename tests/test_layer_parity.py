@@ -53,8 +53,10 @@ def test_conv_transpose_matches_keras(rng, size, strides):
     klayer = tf.keras.layers.Conv2DTranspose(6, size, strides=strides,
                                              padding="same", use_bias=False)
     klayer.build((None, 8, 8, 3))
-    # Keras kernel layout (kh, kw, out, in); flax ConvTranspose: (kh, kw, in, out)
-    k = np.asarray(params["kernel"]).transpose(0, 1, 3, 2)
+    # flax ConvTranspose(default) == Keras Conv2DTranspose with the kernel
+    # spatially flipped (layouts: flax (kh,kw,in,out), keras (kh,kw,out,in)).
+    # A pure reparametrization: training from N(0, .02) init is equivalent.
+    k = np.asarray(params["kernel"]).transpose(0, 1, 3, 2)[::-1, ::-1]
     klayer.set_weights([k])
     want = klayer(tf.constant(x)).numpy()
     assert got.shape == want.shape
