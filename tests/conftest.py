@@ -4,7 +4,10 @@ imports, so multi-chip sharding is exercised without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU unconditionally: the session environment may pin JAX_PLATFORMS
+# to a TPU backend (e.g. 'axon'), which would silently run the whole suite
+# on one real chip instead of the 8-device virtual topology.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
