@@ -56,12 +56,18 @@ def list_images(image_dir: str) -> list[str]:
 
 
 def decode_image(path: str) -> np.ndarray:
-    """Decode to RGB float32 [0,1] (HWC)."""
+    """Decode to RGB float32 [0,1] (HWC).  Prefers the native libjpeg/libpng
+    codec (denoise_gan_tpu/data/native.py), then cv2, then PIL."""
     if path.endswith(".npy"):
         img = np.load(path)
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
         return np.ascontiguousarray(img[..., :3].astype(np.float32))
+    from denoise_gan_tpu.data import native
+    if native.available():
+        img = native.decode(path)
+        if img is not None:
+            return img.astype(np.float32) / 255.0
     if _HAS_CV2:
         bgr = cv2.imread(path, cv2.IMREAD_COLOR)
         if bgr is None:

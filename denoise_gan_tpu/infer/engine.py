@@ -94,12 +94,17 @@ def extract_grid(frame: jax.Array, ny: int, nx: int, tile: int, stride: int
 
 def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
                        tile: int = 256, overlap: int = 16,
-                       channels: int = 3):
-    """Build a jitted frame01 (H, W, 3) -> out01 (H*scale, W*scale, 3) fn.
+                       channels: int = 3, frames_per_call: int = 1,
+                       out_uint8: bool = False):
+    """Build a jitted frame01 (H, W, 3) -> out (H*scale, W*scale, 3) fn.
 
     `forward_coarse`: (N, tile, tile, 3) [-1,1] -> (N, tile, tile,
     channels*scale^2) phase-channel output in [-1,1] (e.g. the fast tail with
-    final_d2s=False).  scale == 1 works too (plain feather stitching)."""
+    final_d2s=False).  scale == 1 works too (plain feather stitching).
+
+    frames_per_call > 1 returns a fn over (F, H, W, 3) batches — one device
+    dispatch per F frames (throughput mode for streaming video).
+    out_uint8 returns uint8 in [0, 255] (quarters the output traffic)."""
     stride = tile - overlap
     ny = _grid(height, tile, stride)
     nx = _grid(width, tile, stride)
@@ -112,8 +117,7 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
         jnp.broadcast_to(weight, (ny * nx, tile, tile, cc)),
         ny, nx, tile, stride), 1e-8))()
 
-    @jax.jit
-    def run(frame01, inv_norm):
+    def one_frame(frame01, inv_norm):
         x = frame01 * 2.0 - 1.0
         x = jnp.pad(x, ((0, pad_h - height), (0, pad_w - width), (0, 0)),
                     mode="edge")
@@ -123,8 +127,18 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
                           ny, nx, tile, stride)
         acc = acc * inv_norm
         out01 = jnp.clip((acc + 1.0) / 2.0, 0.0, 1.0)
+        if out_uint8:
+            out01 = (out01 * 255.0 + 0.5).astype(jnp.uint8)
         if scale > 1:
             out01 = depth_to_space(out01[None], scale)[0]
         return out01[:height * scale, :width * scale]
 
-    return functools.partial(run, inv_norm=inv_norm)
+    if frames_per_call == 1:
+        run = jax.jit(one_frame)
+        return functools.partial(run, inv_norm=inv_norm)
+
+    @jax.jit
+    def run_batch(frames01, inv_norm):
+        return jax.vmap(lambda f: one_frame(f, inv_norm))(frames01)
+
+    return functools.partial(run_batch, inv_norm=inv_norm)
