@@ -139,6 +139,8 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
 
     @jax.jit
     def run_batch(frames01, inv_norm):
-        return jax.vmap(lambda f: one_frame(f, inv_norm))(frames01)
+        # sequential per frame inside one dispatch: amortizes host->device
+        # round trips without multiplying peak activation memory
+        return jax.lax.map(lambda f: one_frame(f, inv_norm), frames01)
 
     return functools.partial(run_batch, inv_norm=inv_norm)
