@@ -50,19 +50,27 @@ def _mbconv_kernel(xp_hbm, we_ref, be_ref, wd_ref, bd_ref, wp_ref, bp_ref,
         e = xv
         e_dim = c
 
-    acc = jnp.zeros((rb, width, e_dim), jnp.float32)
+    # 3x3 depthwise as 9 rolled FMAs: rolls keep every access tile-aligned
+    # (misaligned sublane slices scalarize on Mosaic).  Wrapped-in values
+    # land in the zero padding ring, which is exactly the SAME-conv zero
+    # neighbor, so the interior rows [1:rb+1] are correct.
+    acc = jnp.zeros((rb + 2, wpad, e_dim), jnp.float32)
     for dr in range(3):
         for dc in range(3):
-            acc = acc + (e[dr:dr + rb, dc:dc + width, :].astype(jnp.float32)
-                         * wd_ref[dr, dc, :])
+            shifted = pltpu.roll(e, 1 - dr, 0)
+            shifted = pltpu.roll(shifted, 1 - dc, 1)
+            acc = acc + shifted.astype(jnp.float32) * wd_ref[dr, dc, :]
     d = jnp.maximum(acc + bd_ref[:], 0.0).astype(xv.dtype)
+    d = d[1:rb + 1]                                # interior rows
 
-    p = jnp.dot(d.reshape(rb * width, e_dim), wp_ref[:],
+    p = jnp.dot(d.reshape(rb * wpad, e_dim), wp_ref[:],
                 preferred_element_type=jnp.float32) + bp_ref[:]
-    p = p.reshape(rb, width, c)
+    p = p.reshape(rb, wpad, c)
     if residual:
-        p = p + xin[1:rb + 1, 1:width + 1, :].astype(jnp.float32)
-    out_ref[0] = p.astype(out_ref.dtype)
+        p = p + xin[1:rb + 1].astype(jnp.float32)
+    # align the output slice: roll the image columns to offset 0 first
+    p = pltpu.roll(p, -1, 1)
+    out_ref[0] = p[:, :width, :].astype(out_ref.dtype)
 
 
 def fused_mbconv(x: jax.Array, we, be, wd, bd, wp, bp,

@@ -4,9 +4,6 @@ imports, so multi-chip sharding is exercised without TPU hardware
 
 import os
 
-# Force CPU unconditionally: the session environment may pin JAX_PLATFORMS
-# to a TPU backend (e.g. 'axon'), which would silently run the whole suite
-# on one real chip instead of the 8-device virtual topology.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -20,6 +17,11 @@ os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
 import jax
 import numpy as np
 import pytest
+
+# Force CPU via jax.config too: some hosted environments register a TPU PJRT
+# plugin that overrides the JAX_PLATFORMS env var; only the config API wins.
+# Running the suite on one real chip would break every 8-device mesh test.
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against f32 TF oracles; JAX's default conv/matmul
 # precision on some backends is bf16-ish, which shows up as ~1e-3 noise.
