@@ -44,22 +44,23 @@ def _mbconv_kernel(xp_hbm, we_ref, be_ref, wd_ref, bd_ref, wp_ref, bp_ref,
         e_dim = we_ref.shape[-1]
         flat = xv.reshape((rb + 2) * wpad, c)
         e = jnp.dot(flat, we_ref[:], preferred_element_type=jnp.float32)
-        e = jnp.maximum(e + be_ref[:], 0.0).astype(xv.dtype)
+        e = jnp.maximum(e + be_ref[:], 0.0)            # stays f32 for rolls
         e = e.reshape(rb + 2, wpad, e_dim)
     else:
-        e = xv
+        e = xv.astype(jnp.float32)
         e_dim = c
 
     # 3x3 depthwise as 9 rolled FMAs: rolls keep every access tile-aligned
-    # (misaligned sublane slices scalarize on Mosaic).  Wrapped-in values
-    # land in the zero padding ring, which is exactly the SAME-conv zero
-    # neighbor, so the interior rows [1:rb+1] are correct.
+    # (misaligned sublane slices scalarize on Mosaic; rotates require 32-bit
+    # data, hence f32).  Wrapped-in values land in the zero padding ring,
+    # which is exactly the SAME-conv zero neighbor, so the interior rows
+    # [1:rb+1] are correct.
     acc = jnp.zeros((rb + 2, wpad, e_dim), jnp.float32)
     for dr in range(3):
         for dc in range(3):
-            shifted = pltpu.roll(e, 1 - dr, 0)
-            shifted = pltpu.roll(shifted, 1 - dc, 1)
-            acc = acc + shifted.astype(jnp.float32) * wd_ref[dr, dc, :]
+            shifted = pltpu.roll(e, (1 - dr) % (rb + 2), 0)
+            shifted = pltpu.roll(shifted, (1 - dc) % wpad, 1)
+            acc = acc + shifted * wd_ref[dr, dc, :]
     d = jnp.maximum(acc + bd_ref[:], 0.0).astype(xv.dtype)
     d = d[1:rb + 1]                                # interior rows
 
@@ -69,7 +70,7 @@ def _mbconv_kernel(xp_hbm, we_ref, be_ref, wd_ref, bd_ref, wp_ref, bp_ref,
     if residual:
         p = p + xin[1:rb + 1].astype(jnp.float32)
     # align the output slice: roll the image columns to offset 0 first
-    p = pltpu.roll(p, -1, 1)
+    p = pltpu.roll(p, wpad - 1, 1)
     out_ref[0] = p[:, :width, :].astype(out_ref.dtype)
 
 
