@@ -64,6 +64,8 @@ def test_full_train_step(family, scale, crop):
     hr = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (2, crop, crop, 3)),
         jnp.float32)
+    # snapshot before stepping: the jitted step donates the input state
+    before = jax.tree.map(np.asarray, state.gen.params)
     state2, metrics = step(state, vgg, hr, jax.random.key(1))
     assert int(state2.step) == 1
     for k in ("gen_loss", "disc_loss", "adv_loss", "content_loss",
@@ -71,8 +73,8 @@ def test_full_train_step(family, scale, crop):
         v = float(metrics[k])
         assert np.isfinite(v), (k, v)
     # params actually moved
-    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                         state.gen.params, state2.gen.params)
+    moved = jax.tree.map(lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+                         before, state2.gen.params)
     assert max(jax.tree.leaves(moved)) > 0
 
 
