@@ -78,6 +78,21 @@ def process_video(args) -> dict:
     config, bundle, forward = build_forward(get_path(args.model), fast=bool(args.fast))
     scale = config["scale"] if bundle.upscales else 1
 
+    # fastest path: the whole-frame engine (coarse-tail forward + phase-space
+    # overlap-add stitch in ONE compiled program per frame, infer/engine.py)
+    engine = None
+    if args.tile and args.fast and bundle.upscales:
+        from denoise_gan_tpu.infer.engine import build_frame_engine
+        from denoise_gan_tpu.infer.fast import build_fast_coarse
+        from denoise_gan_tpu.io.checkpoint import load_generator
+        _, params, batch_stats = load_generator(get_path(args.model))
+        try:
+            fwd_coarse, scale = build_fast_coarse(config, params, batch_stats)
+            engine = build_frame_engine(fwd_coarse, fh, fw, scale,
+                                        args.tile, args.tile_overlap)
+        except ValueError:
+            engine = None
+
     cap = cv2.VideoCapture(input_path)
     if args.frame_start:
         cap.set(cv2.CAP_PROP_POS_FRAMES, args.frame_start)
@@ -134,7 +149,9 @@ def process_video(args) -> dict:
         if frame01 is None:
             break
         x = jnp.asarray(frame01)
-        if args.tile:
+        if engine is not None:
+            out01 = engine(x)
+        elif args.tile:
             out01 = tiled_apply(lambda t: forward_m11(t),
                                 x * 2.0 - 1.0, args.tile, args.tile_overlap,
                                 scale, batch=args.tile_batch)
