@@ -41,7 +41,8 @@ def main() -> None:
         {"family": "fsrgan", "scale": 4}, variables["params"],
         variables.get("batch_stats", {}))
     denoise_frame = build_frame_engine(forward_coarse, H, W, scale,
-                                       TILE, OVERLAP, out_uint8=True)
+                                       TILE, OVERLAP, out_uint8=True,
+                                       flat_channels=True)
 
     rng = np.random.default_rng(0)
     frames = [jnp.asarray(rng.random((H, W, 3)), jnp.float32)

@@ -84,18 +84,35 @@ def overlap_add(tiles: jax.Array, ny: int, nx: int, tile: int, stride: int
 
 def extract_grid(frame: jax.Array, ny: int, nx: int, tile: int, stride: int
                  ) -> jax.Array:
-    """(Hp, Wp, C) padded frame -> (ny*nx, t, t, C) regular-grid tiles."""
-    c = frame.shape[-1]
-    tiles = [jax.lax.dynamic_slice(frame, (i * stride, j * stride, 0),
-                                   (tile, tile, c))
-             for i in range(ny) for j in range(nx)]
-    return jnp.stack(tiles)
+    """(Hp, Wp, C) padded frame -> (ny*nx, t, t, C) regular-grid tiles.
+
+    Structured inverse of :func:`overlap_add`: since overlap = tile - stride
+    < stride, each tile is its stride-grid cell plus the first `ov` rows/cols
+    of the next cell — two shifted reshapes per axis instead of ny*nx
+    dynamic slices."""
+    t = tile
+    ov = t - stride
+    hp, wp, c = frame.shape
+
+    # rows: (Hp, Wp, C) -> (ny, t, Wp, C)
+    head = frame[:ny * stride].reshape(ny, stride, wp, c)
+    shifted = jnp.pad(frame[stride:], ((0, stride), (0, 0), (0, 0)))
+    tail = shifted[:ny * stride].reshape(ny, stride, wp, c)[:, :ov]
+    rows = jnp.concatenate([head, tail], axis=1)        # (ny, t, Wp, C)
+
+    # cols: (ny, t, Wp, C) -> (ny, t, nx, t, C)
+    head = rows[:, :, :nx * stride].reshape(ny, t, nx, stride, c)
+    shifted = jnp.pad(rows[:, :, stride:], ((0, 0), (0, 0), (0, stride),
+                                            (0, 0)))
+    tail = shifted[:, :, :nx * stride].reshape(ny, t, nx, stride, c)[..., :ov, :]
+    tiles = jnp.concatenate([head, tail], axis=3)       # (ny, t, nx, t, C)
+    return tiles.transpose(0, 2, 1, 3, 4).reshape(ny * nx, t, t, c)
 
 
 def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
                        tile: int = 256, overlap: int = 16,
                        channels: int = 3, frames_per_call: int = 1,
-                       out_uint8: bool = False):
+                       out_uint8: bool = False, flat_channels: bool = False):
     """Build a jitted frame01 (H, W, 3) -> out (H*scale, W*scale, 3) fn.
 
     `forward_coarse`: (N, tile, tile, 3) [-1,1] -> (N, tile, tile,
@@ -104,7 +121,11 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
 
     frames_per_call > 1 returns a fn over (F, H, W, 3) batches — one device
     dispatch per F frames (throughput mode for streaming video).
-    out_uint8 returns uint8 in [0, 255] (quarters the output traffic)."""
+    out_uint8 returns uint8 in [0, 255] (quarters the output traffic).
+    flat_channels (with out_uint8 and scale>1) returns (H*s, W*s*3) — the
+    SAME bytes as row-major HWC, host-reshapeable for free.  A 4K tensor
+    with a 3-channel minor dim pays up to 42x lane padding on TPU; the 2D
+    layout makes the final depth_to_space ~23 ms/frame cheaper (PERF.md)."""
     stride = tile - overlap
     ny = _grid(height, tile, stride)
     nx = _grid(width, tile, stride)
@@ -130,6 +151,12 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
         if out_uint8:
             out01 = (out01 * 255.0 + 0.5).astype(jnp.uint8)
         if scale > 1:
+            if out_uint8 and flat_channels:
+                hc, wc = out01.shape[:2]
+                cs = channels * scale
+                flat = out01.reshape(hc, wc, scale, cs)
+                flat = flat.transpose(0, 2, 1, 3).reshape(hc * scale, wc * cs)
+                return flat[:height * scale, :width * scale * channels]
             out01 = depth_to_space(out01[None], scale)[0]
         return out01[:height * scale, :width * scale]
 

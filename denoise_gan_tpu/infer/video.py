@@ -88,8 +88,14 @@ def process_video(args) -> dict:
         _, params, batch_stats = load_generator(get_path(args.model))
         try:
             fwd_coarse, scale = build_fast_coarse(config, params, batch_stats)
+            # uint8 + flat channel layout: byte-identical to HWC, ~23ms/frame
+            # cheaper (PERF.md); reshaped to HWC on host for free.  On-device
+            # scoring needs the HWC float frame, so --score keeps that layout.
+            flat = not args.score
             engine = build_frame_engine(fwd_coarse, fh, fw, scale,
-                                        args.tile, args.tile_overlap)
+                                        args.tile, args.tile_overlap,
+                                        out_uint8=flat, flat_channels=flat)
+            engine_flat = flat
         except ValueError:
             engine = None
 
@@ -150,7 +156,16 @@ def process_video(args) -> dict:
             break
         x = jnp.asarray(frame01)
         if engine is not None:
-            out01 = engine(x)
+            out = engine(x)
+            if engine_flat:
+                arr = np.asarray(out).reshape(fh * scale, fw * scale, 3)
+                if writer is not None:
+                    writer.write(arr[..., ::-1])
+                frames += 1
+                if args.verbose:
+                    print(f"frame {frames}", flush=True)
+                continue
+            out01 = out
         elif args.tile:
             out01 = tiled_apply(lambda t: forward_m11(t),
                                 x * 2.0 - 1.0, args.tile, args.tile_overlap,
