@@ -109,7 +109,23 @@ def build_coarse_tail(tail_params: Any, stage_names: list[str],
         bias = np.tile(b, m * m)
         Q = d2s_perm(m, c_next)
         alpha_t = np.tile(alpha, (2 * m) * (2 * m))[np.argsort(Q)]
-        stages.append((K, bias, alpha_t))
+        # For m>1, the dense scattered 3x3 kernel is (1 - 1/m^2-ish)
+        # structural zeros.  Split it into m^2 exact per-output-phase 2x2
+        # convs (each phase's taps span only 2 coarse rows/cols): same math,
+        # 2.25x fewer FLOPs at m=2 (profiled: the dense conv was the single
+        # hottest op in the frame).
+        if m == 2:  # phase a's taps live in rows [a, a+2) of the 3x3
+            cout_blk = K.shape[-1] // (m * m)
+            phase_ks = []
+            for a in range(m):
+                for bb in range(m):
+                    ph = (m * a + bb) * cout_blk
+                    phase_ks.append((
+                        K[a:a + 2, bb:bb + 2, :, ph:ph + cout_blk],
+                        (1 - a, a), (1 - bb, bb)))
+            stages.append(("phased", phase_ks, bias, alpha_t))
+        else:
+            stages.append(("dense", K, bias, alpha_t))
         pend = Q
         m *= 2
 
@@ -121,8 +137,18 @@ def build_coarse_tail(tail_params: Any, stage_names: list[str],
 
     def tail(h):
         x = h
-        for K, b, alpha in stages:
-            x = _conv(x, K, b, dtype)
+        for kind, K, b, alpha in stages:
+            if kind == "phased":
+                parts = []
+                for Kp, pad_r, pad_c in K:
+                    xp = jnp.pad(x.astype(dtype),
+                                 ((0, 0), pad_r, pad_c, (0, 0)))
+                    parts.append(jax.lax.conv_general_dilated(
+                        xp, jnp.asarray(Kp, dtype), (1, 1), "VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+                x = jnp.concatenate(parts, axis=-1) + jnp.asarray(b, dtype)
+            else:
+                x = _conv(x, K, b, dtype)
             a = jnp.asarray(alpha, dtype)
             x = jnp.where(x >= 0, x, a * x)
         y = _conv(x, K_f, b_f, dtype)
