@@ -39,10 +39,11 @@ def main() -> None:
     # infer/engine.py): exact, avoids all high-resolution intermediates
     forward_coarse, scale = build_fast_coarse(
         {"family": "fsrgan", "scale": 4}, variables["params"],
-        variables.get("batch_stats", {}))
+        variables.get("batch_stats", {}), out_dtype=jnp.bfloat16)
     denoise_frame = build_frame_engine(forward_coarse, H, W, scale,
                                        TILE, OVERLAP, out_uint8=True,
-                                       flat_channels=True)
+                                       flat_channels=True,
+                                       acc_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     frames = [jnp.asarray(rng.random((H, W, 3)), jnp.float32)

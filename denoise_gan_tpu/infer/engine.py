@@ -112,7 +112,8 @@ def extract_grid(frame: jax.Array, ny: int, nx: int, tile: int, stride: int
 def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
                        tile: int = 256, overlap: int = 16,
                        channels: int = 3, frames_per_call: int = 1,
-                       out_uint8: bool = False, flat_channels: bool = False):
+                       out_uint8: bool = False, flat_channels: bool = False,
+                       acc_dtype=jnp.float32):
     """Build a jitted frame01 (H, W, 3) -> out (H*scale, W*scale, 3) fn.
 
     `forward_coarse`: (N, tile, tile, 3) [-1,1] -> (N, tile, tile,
@@ -132,11 +133,13 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
     pad_h = (ny - 1) * stride + tile
     pad_w = (nx - 1) * stride + tile
     cc = channels * scale * scale
-    weight = jnp.asarray(_phase_feather(tile, scale, overlap, channels))
+    weight = jnp.asarray(_phase_feather(tile, scale, overlap, channels),
+                         acc_dtype)
 
-    inv_norm = jax.jit(lambda: 1.0 / jnp.maximum(overlap_add(
-        jnp.broadcast_to(weight, (ny * nx, tile, tile, cc)),
-        ny, nx, tile, stride), 1e-8))()
+    inv_norm = jax.jit(lambda: (1.0 / jnp.maximum(overlap_add(
+        jnp.broadcast_to(weight.astype(jnp.float32),
+                         (ny * nx, tile, tile, cc)),
+        ny, nx, tile, stride), 1e-8)).astype(acc_dtype))()
 
     def one_frame(frame01, inv_norm):
         x = frame01 * 2.0 - 1.0
@@ -144,7 +147,7 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
                     mode="edge")
         tiles = extract_grid(x, ny, nx, tile, stride)
         out = forward_coarse(tiles)                      # (N, t, t, cc)
-        acc = overlap_add(out.astype(jnp.float32) * weight,
+        acc = overlap_add(out.astype(acc_dtype) * weight,
                           ny, nx, tile, stride)
         acc = acc * inv_norm
         out01 = jnp.clip((acc + 1.0) / 2.0, 0.0, 1.0)

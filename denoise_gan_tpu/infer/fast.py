@@ -86,7 +86,8 @@ def _conv(x, K, b, dtype):
 
 def build_coarse_tail(tail_params: Any, stage_names: list[str],
                       final_kernel_fine: np.ndarray, final_bias: np.ndarray,
-                      dtype=jnp.bfloat16, final_d2s: bool = True):
+                      dtype=jnp.bfloat16, final_d2s: bool = True,
+                      out_dtype=jnp.float32):
     """Precompute scattered kernels for a tail of 2x pixel-shuffle stages +
     final conv; returns fn(h) -> [-1,1] f32 image at scale 2^len(stages)."""
     # All channel permutations (TF depth_to_space reordering between stages)
@@ -152,7 +153,9 @@ def build_coarse_tail(tail_params: Any, stage_names: list[str],
             a = jnp.asarray(alpha, dtype)
             x = jnp.where(x >= 0, x, a * x)
         y = _conv(x, K_f, b_f, dtype)
-        y = jnp.tanh(y.astype(jnp.float32))
+        # out_dtype=bf16 halves the tail-output/stitch traffic; with uint8
+        # final output the bf16 eps (~1/2 of a u8 step at 1.0) is harmless
+        y = jnp.tanh(y.astype(jnp.float32)).astype(out_dtype)
         # final_d2s=False keeps the phase-channel layout for the frame
         # engine's phase-space stitching (infer/engine.py)
         return depth_to_space(y, scale) if final_d2s else y
@@ -161,7 +164,7 @@ def build_coarse_tail(tail_params: Any, stage_names: list[str],
 
 
 def build_fast_coarse(config: dict, params: Any, batch_stats: Any,
-                      dtype=jnp.bfloat16):
+                      dtype=jnp.bfloat16, out_dtype=jnp.float32):
     """(forward_coarse, scale): body + coarse tail WITHOUT the final
     depth_to_space — (N, T, T, 3) [-1,1] -> (N, T, T, 3*scale^2) phase-channel
     output for the frame engine.  Only for srgan/fsrgan (scale >= 2)."""
@@ -183,7 +186,7 @@ def build_fast_coarse(config: dict, params: Any, batch_stats: Any,
 
     tail = build_coarse_tail(tail_p, names, tail_p["out_conv"]["kernel"],
                              tail_p["out_conv"]["bias"], dtype,
-                             final_d2s=False)
+                             final_d2s=False, out_dtype=out_dtype)
     body_params = params["body"]
     body_stats = batch_stats.get("body", {}) if batch_stats else {}
 
