@@ -63,8 +63,12 @@ def build_train_step(bundle: ModelBundle, cfg: TrainConfig) -> Callable:
              rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         quality_rng, dropout_rng, identity_rng = jax.random.split(rng, 3)
-        img_in, img_tgt = degrade_pair(hr01, cfg.scale, cfg.jpeg_quality,
-                                       rng=quality_rng)
+        # --jpeg_quality 0 selects per-image random quality 25..75 on device
+        # (the reference's dormant random_jpeg_quality,
+        # /root/reference/dataloader.py:142-159)
+        img_in, img_tgt = degrade_pair(
+            hr01, cfg.scale, max(cfg.jpeg_quality, 1), rng=quality_rng,
+            random_quality=cfg.jpeg_quality <= 0)
 
         # ---------------- generator loss & grads ----------------
         def gen_loss_fn(gen_params):
