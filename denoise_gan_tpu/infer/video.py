@@ -81,6 +81,7 @@ def process_video(args) -> dict:
     # fastest path: the whole-frame engine (coarse-tail forward + phase-space
     # overlap-add stitch in ONE compiled program per frame, infer/engine.py)
     engine = None
+    engine_flat = False
     if args.tile and args.fast and bundle.upscales:
         from denoise_gan_tpu.infer.engine import build_frame_engine
         from denoise_gan_tpu.infer.fast import build_fast_coarse

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 import signal
 import time
-from functools import partial
 from typing import Any
 
 import jax
