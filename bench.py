@@ -27,7 +27,7 @@ def main() -> None:
     from denoise_gan_tpu.models import build_models
 
     H, W = 1080, 1920
-    TILE, OVERLAP = 128, 8  # measured optimum (PERF.md)
+    TILE, OVERLAP = 144, 4  # measured optimum (PERF.md)
     FRAMES = 16
 
     bundle = build_models("fsrgan", scale=4, fp16=True)
