@@ -44,12 +44,18 @@ def build_summary_fn(bundle: ModelBundle, cfg: TrainConfig):
     (first sample of the batch), returning uint8 HWC arrays
     (/root/reference/train_srgan.py:152-174)."""
 
+    from denoise_gan_tpu.ops.image import renorm
+    from denoise_gan_tpu.ops.metrics import ssim
+
     @jax.jit
     def summaries(gen_params, gen_stats, hr01):
         img_in, img_tgt = degrade_pair(hr01[:1], cfg.scale, cfg.jpeg_quality)
         img_gen = bundle.generator.apply(
             {"params": gen_params, "batch_stats": gen_stats},
             img_in, train=False)
+        # SSIM lives here (every save_iter) rather than in the hot step —
+        # its 11x11 windowed convs cost ~35% of a train step (PERF.md)
+        ssim_val = jnp.mean(ssim(renorm(img_gen), renorm(img_tgt)))
         err = img_gen - img_tgt
         dx_gen, dy_gen = high_pass_x_y(img_gen)
         dx_tgt, dy_tgt = high_pass_x_y(img_tgt)
@@ -71,7 +77,7 @@ def build_summary_fn(bundle: ModelBundle, cfg: TrainConfig):
             "Image Gradients/Total Var Target": to_uint8(total_variation_map(img_tgt), norm=False),
             "Image Gradients/Total Var Generated": to_uint8(total_variation_map(img_gen), norm=False),
         }
-        return {k: v[0] for k, v in panels.items()}
+        return {k: v[0] for k, v in panels.items()}, ssim_val
 
     return summaries
 
@@ -171,12 +177,13 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
                 writer.scalar("Discriminator Losses/disc_loss",
                               host_metrics["disc_loss"], it)
                 writer.scalar("Quality/psnr", host_metrics["psnr"], it)
-                writer.scalar("Quality/ssim", host_metrics["ssim"], it)
-                if cfg.log_images and last_batch is not None:
-                    panels = summary_fn(state.gen.params,
-                                        state.gen.batch_stats, last_batch)
-                    for tag, img in panels.items():
-                        writer.image(tag, np.asarray(img), it)
+                if last_batch is not None:
+                    panels, ssim_val = summary_fn(
+                        state.gen.params, state.gen.batch_stats, last_batch)
+                    writer.scalar("Quality/ssim", float(ssim_val), it)
+                    if cfg.log_images:
+                        for tag, img in panels.items():
+                            writer.image(tag, np.asarray(img), it)
                 writer.flush()
         jax.block_until_ready(metrics)
         train_time = time.time() - train_begin

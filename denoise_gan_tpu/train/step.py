@@ -145,10 +145,12 @@ def build_train_step(bundle: ModelBundle, cfg: TrainConfig) -> Callable:
         )
 
         out01, tgt01 = renorm(gen_out), renorm(img_tgt)
+        # PSNR is ~free; SSIM (11x11 windowed convs) costs ~35% of the whole
+        # step (profiled), so it is computed in the save_iter summary fn
+        # (train/loop.py) instead of every step.
         metrics = dict(
             gen_loss=gen_total, disc_loss=disc_total,
             psnr=jnp.mean(psnr(out01, tgt01)),
-            ssim=jnp.mean(ssim(out01, tgt01)),
             **aux,
         )
         return new_state, metrics

@@ -69,7 +69,7 @@ def test_full_train_step(family, scale, crop):
     state2, metrics = step(state, vgg, hr, jax.random.key(1))
     assert int(state2.step) == 1
     for k in ("gen_loss", "disc_loss", "adv_loss", "content_loss",
-              "mse_loss", "mae_loss", "psnr", "ssim"):
+              "mse_loss", "mae_loss", "psnr"):
         v = float(metrics[k])
         assert np.isfinite(v), (k, v)
     # params actually moved
