@@ -160,13 +160,18 @@ class DataPipeline:
             return np.stack([self._crop(im, rng) for im in imgs])
 
         def producer():
+            # Exceptions (e.g. a corrupt image) are forwarded through the
+            # queue and re-raised in the consumer — a silent `finally: put
+            # (None)` would truncate the epoch without surfacing the error
+            # (ADVICE.md r1).
             try:
                 for s in range(steps):
                     if stop.is_set():
                         return
                     q.put(make_batch(s))
-            finally:
                 q.put(None)
+            except BaseException as exc:  # noqa: BLE001 — forwarded, not swallowed
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -175,6 +180,8 @@ class DataPipeline:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -37,8 +37,11 @@ def scatter_conv_kernel(W: np.ndarray, m: int) -> np.ndarray:
     over canonical-layout channels (m^2*cin, m^2*cout)."""
     kh, kw, cin, cout = W.shape
     kh2, kw2 = kh // 2, kw // 2
-    hr = 1 if kh > 1 else 0
-    hs = 1 if kw > 1 else 0
+    # Coarse radius: u = m*r + e' - e must reach |u| <= k//2 for all phase
+    # offsets e, e' in [0, m), so |r| <= (k//2 + m - 1) // m.  (A hardcoded
+    # radius of 1 silently drops taps for k >= 2m+2, ADVICE.md r1.)
+    hr = (kh2 + m - 1) // m if kh > 1 else 0
+    hs = (kw2 + m - 1) // m if kw > 1 else 0
     K = np.zeros((2 * hr + 1, 2 * hs + 1, m * m * cin, m * m * cout),
                  np.asarray(W).dtype)
     W = np.asarray(W)
@@ -115,7 +118,10 @@ def build_coarse_tail(tail_params: Any, stage_names: list[str],
         # convs (each phase's taps span only 2 coarse rows/cols): same math,
         # 2.25x fewer FLOPs at m=2 (profiled: the dense conv was the single
         # hottest op in the frame).
-        if m == 2:  # phase a's taps live in rows [a, a+2) of the 3x3
+        # (guard on the coarse kernel actually being 3x3: a fine kernel
+        #  wider than 3 at m=2 has coarse radius 2 and can't phase-split)
+        if m == 2 and K.shape[0] == 3 and K.shape[1] == 3:
+            # phase a's taps live in rows [a, a+2) of the 3x3
             cout_blk = K.shape[-1] // (m * m)
             phase_ks = []
             for a in range(m):

@@ -187,7 +187,9 @@ def process_video(args) -> dict:
             ssim_sum += float(s)
 
         if writer is not None:
-            arr = np.asarray((out01 * 255.0).astype(jnp.uint8))
+            # round (+0.5) like the engine's uint8 path, not truncate —
+            # keeps both output modes byte-consistent (ADVICE.md r1)
+            arr = np.asarray((out01 * 255.0 + 0.5).astype(jnp.uint8))
             writer.write(arr[..., ::-1])
         frames += 1
         if args.verbose:

@@ -63,15 +63,16 @@ class CheckpointManager:
 EXPORT_MAGIC = b"DGTPU1\n"
 
 
-def export_generator(path: str, family: str, scale: int,
-                     gen_params: Any, gen_batch_stats: Any) -> None:
+def export_net(path: str, family: str, scale: int,
+               params: Any, batch_stats: Any,
+               role: str = "generator") -> None:
     """Write {config, params, batch_stats} as magic + JSON header + msgpack."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = serialization.to_bytes(
-        {"params": jax.tree.map(np.asarray, gen_params),
-         "batch_stats": jax.tree.map(np.asarray, gen_batch_stats)})
+        {"params": jax.tree.map(np.asarray, params),
+         "batch_stats": jax.tree.map(np.asarray, batch_stats)})
     header = json.dumps({"family": family, "scale": scale,
-                         "format": 1}).encode()
+                         "format": 1, "role": role}).encode()
     with open(path, "wb") as f:
         f.write(EXPORT_MAGIC)
         f.write(len(header).to_bytes(8, "little"))
@@ -79,11 +80,13 @@ def export_generator(path: str, family: str, scale: int,
         f.write(payload)
 
 
-def load_generator(path: str) -> tuple[dict, Any, Any]:
-    """Returns (config_dict, params, batch_stats); rebuild the module with
-    models.build_models(config['family'], config['scale'])."""
-    from denoise_gan_tpu.models import build_models  # local: avoid cycle
+def export_generator(path: str, family: str, scale: int,
+                     gen_params: Any, gen_batch_stats: Any) -> None:
+    export_net(path, family, scale, gen_params, gen_batch_stats, "generator")
 
+
+def read_export(path: str) -> tuple[dict, bytes]:
+    """Returns (config_dict, raw msgpack payload)."""
     with open(path, "rb") as f:
         magic = f.read(len(EXPORT_MAGIC))
         if magic != EXPORT_MAGIC:
@@ -91,7 +94,29 @@ def load_generator(path: str) -> tuple[dict, Any, Any]:
         hlen = int.from_bytes(f.read(8), "little")
         config = json.loads(f.read(hlen))
         payload = f.read()
+    return config, payload
 
+
+def load_export_into(path: str, params_template: Any,
+                     stats_template: Any) -> tuple[dict, Any, Any]:
+    """Deserialize an export against caller-supplied pytree templates —
+    used for warm-starting training from exports (the reference's
+    --retrain .h5 reload, /root/reference/autoencoder.py:141-146)."""
+    config, payload = read_export(path)
+    template = {"params": params_template, "batch_stats": stats_template}
+    restored = serialization.from_bytes(template, payload)
+    return config, restored["params"], restored["batch_stats"]
+
+
+def load_generator(path: str) -> tuple[dict, Any, Any]:
+    """Returns (config_dict, params, batch_stats); rebuild the module with
+    models.build_models(config['family'], config['scale'])."""
+    from denoise_gan_tpu.models import build_models  # local: avoid cycle
+
+    config, payload = read_export(path)
+    if config.get("role", "generator") != "generator":
+        raise ValueError(f"{path} is a {config['role']} export, "
+                         "not a generator")
     bundle = build_models(config["family"], scale=config["scale"])
     import jax.numpy as jnp
     size = 64 if bundle.upscales else 256

@@ -87,6 +87,17 @@ def init_vgg_params(weights_path: Optional[str] = None) -> Any:
                 "bias": jnp.asarray(data[f"{name}/bias"]),
             }
         params = loaded
+    else:
+        import warnings
+        msg = (
+            f"VGG19 weights not found at '{path}' — the perceptual/content "
+            "loss will use FIXED-SEED RANDOM VGG features, not ImageNet "
+            "features.  The reference hard-requires ImageNet weights "
+            "(/root/reference/srgan.py:86); convert a Keras VGG19 notop .h5 "
+            "with tools/convert_vgg19.py and set VGG19_WEIGHTS or place it "
+            "at models/vgg19_notop.npz for feature parity.")
+        warnings.warn(msg, stacklevel=2)
+        print(f"WARNING: {msg}")
     return params
 
 

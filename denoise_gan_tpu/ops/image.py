@@ -95,15 +95,18 @@ def total_variation(image: jax.Array) -> jax.Array:
 
 # --- resize ----------------------------------------------------------------
 
-def resize_bicubic(image: jax.Array, height: int, width: int) -> jax.Array:
-    """Bicubic resize (NHWC or HWC). jax.image 'cubic' is a Keys cubic kernel,
-    the same family as tf.image.resize(method='bicubic'); antialiasing on
-    downscale matches TF2's default behavior."""
+def resize_bicubic(image: jax.Array, height: int, width: int,
+                   antialias: bool = False) -> jax.Array:
+    """Bicubic resize (NHWC or HWC). jax.image 'cubic' is the same Keys cubic
+    kernel as tf.image.resize(method='bicubic'); TF2's default is
+    antialias=False (no kernel widening on downscale), and the reference's
+    degradation uses that default (/root/reference/dataloader.py:121-123), so
+    False is the parity default here (tests/test_ops_image.py)."""
     if image.ndim == 3:
         shape = (height, width, image.shape[-1])
     else:
         shape = (image.shape[0], height, width, image.shape[-1])
-    return jax.image.resize(image, shape, method="cubic", antialias=True)
+    return jax.image.resize(image, shape, method="cubic", antialias=antialias)
 
 
 def resize_with_crop_or_pad(image: jax.Array, th: int, tw: int) -> jax.Array:

@@ -22,7 +22,9 @@ import numpy as np
 
 from denoise_gan_tpu.data.degrade import degrade_pair
 from denoise_gan_tpu.data.pipeline import DataPipeline
-from denoise_gan_tpu.io.checkpoint import CheckpointManager, export_generator
+from denoise_gan_tpu.io.checkpoint import (
+    CheckpointManager, export_generator, export_net, load_export_into,
+)
 from denoise_gan_tpu.models import ModelBundle, build_models
 from denoise_gan_tpu.models.vgg import init_vgg_params
 from denoise_gan_tpu.ops.image import (
@@ -49,7 +51,12 @@ def build_summary_fn(bundle: ModelBundle, cfg: TrainConfig):
 
     @jax.jit
     def summaries(gen_params, gen_stats, hr01):
-        img_in, img_tgt = degrade_pair(hr01[:1], cfg.scale, cfg.jpeg_quality)
+        # Mirror the train step's degradation: --jpeg_quality 0 means random
+        # quality 25..75, so panels use a representative draw from that
+        # distribution rather than the clipped-to-1 worst case (ADVICE.md).
+        img_in, img_tgt = degrade_pair(
+            hr01[:1], cfg.scale, max(cfg.jpeg_quality, 1),
+            rng=jax.random.key(cfg.seed), random_quality=cfg.jpeg_quality <= 0)
         img_gen = bundle.generator.apply(
             {"params": gen_params, "batch_stats": gen_stats},
             img_in, train=False)
@@ -80,6 +87,27 @@ def build_summary_fn(bundle: ModelBundle, cfg: TrainConfig):
         return {k: v[0] for k, v in panels.items()}, ssim_val
 
     return summaries
+
+
+def warm_start_from_exports(state: GANTrainState,
+                            model_name: str) -> GANTrainState:
+    """Load generator/discriminator weights from prior `.dgt` exports when no
+    training checkpoint exists — the reference's --retrain reload of the final
+    `.h5` saves (/root/reference/autoencoder.py:141-146, 206-213).  Optimizer
+    state and step counters start fresh, as in the reference."""
+    gen_path = get_path("models", f"{model_name}.dgt")
+    disc_path = get_path("models", f"{model_name}_disc.dgt")
+    if os.path.exists(gen_path):
+        print("Warm-starting generator from export:", gen_path)
+        _, p, s = load_export_into(gen_path, state.gen.params,
+                                   state.gen.batch_stats)
+        state = state.replace(gen=state.gen.replace(params=p, batch_stats=s))
+    if os.path.exists(disc_path):
+        print("Warm-starting discriminator from export:", disc_path)
+        _, p, s = load_export_into(disc_path, state.disc.params,
+                                   state.disc.batch_stats)
+        state = state.replace(disc=state.disc.replace(params=p, batch_stats=s))
+    return state
 
 
 def train(cfg: TrainConfig, family: str) -> GANTrainState:
@@ -122,6 +150,12 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
     if cfg.retrain and manager.latest_step() is not None:
         print("Restoring checkpoint from here:", ckpt_dir)
         state = manager.restore(state)
+    elif cfg.retrain:
+        # Warm start from a prior run's exports when no Orbax checkpoint
+        # exists — the reference reloads models/{name}.h5 (+ the
+        # discriminator .h5) on --retrain (/root/reference/autoencoder.py:141-146,
+        # 206-213).  Step/opt state start fresh, like the reference.
+        state = warm_start_from_exports(state, cfg.model_name)
 
     step_fn = jit_train_step(build_train_step(bundle, cfg),
                              mesh if use_mesh else None)
@@ -142,9 +176,14 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
         pass  # not on the main thread (e.g. under some test runners)
 
     metrics = {}
+    # Host-side step counter: pulling int(state.step) every step would sync
+    # the device and cap the dispatch queue at depth 1 (VERDICT r1); the
+    # device counter is only read at checkpoint/epoch boundaries.
+    it = int(state.step)
+    epoch0 = int(state.epoch)
     for epoch in range(cfg.epochs):
         state = state.replace(epoch=state.epoch + 1)
-        print(f"|== Starting epoch: {int(state.epoch)}, ", end="", flush=True)
+        print(f"|== Starting epoch: {epoch0 + epoch + 1}, ", end="", flush=True)
         train_begin = time.time()
         last_batch = None
         profile_this_epoch = bool(cfg.profile_dir) and epoch == min(
@@ -157,7 +196,7 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
                 last_batch = hr
                 state, metrics = step_fn(state, vgg_params, hr, rng)
                 timer.tick()
-                it = int(state.step)
+                it += 1
                 if preempted["flag"]:
                     print(f"\nSIGTERM: checkpointing at step {it} and exiting")
                     manager.save(it, state)
@@ -189,7 +228,7 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
         train_time = time.time() - train_begin
 
         if cfg.ckpt and epoch % cfg.ckpt_every_epochs == 0:
-            manager.save(int(state.step), state)
+            manager.save(it, state)
         total_time = time.time() - train_begin
         sps = steps_per_epoch / max(train_time, 1e-9)
         print(
@@ -199,14 +238,14 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
             f"mse: {float(metrics['mse_loss']):.2e}, "
             f"mae: {float(metrics['mae_loss']):.2e}, "
             f"psnr: {float(metrics['psnr']):.2f}, "
-            f"iters: {int(state.step)}, train: {train_time:0.2f}, "
+            f"iters: {it}, train: {train_time:0.2f}, "
             f"total: {total_time:0.2f}, steps/s: {sps:0.2f} ==|")
 
     # Final checkpoint so resume continues from the last step (the reference
     # only checkpointed every 5 epochs and lost the trailing epochs; pix2pix
     # alone saved at exit, /root/reference/train_pix2pix.py:193)
     if cfg.ckpt:
-        manager.save(int(state.step), state)
+        manager.save(it, state)
 
     # Final exports (the reference's final .h5 saves,
     # /root/reference/train_srgan.py:256-259)
@@ -219,6 +258,11 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
                                       f"{cfg.model_name}_{short}.dgt"),
                          family, cfg.scale, state.gen.params,
                          state.gen.batch_stats)
+        # Discriminator export enables --retrain warm starts (the reference
+        # also saved discriminator .h5s, /root/reference/train_srgan.py:256-259).
+        export_net(get_path("models", f"{cfg.model_name}_disc.dgt"),
+                   family, cfg.scale, state.disc.params,
+                   state.disc.batch_stats, role="discriminator")
     writer.close()
     manager.close()
     return state

@@ -32,8 +32,10 @@ def test_golden_jpeg_roundtrip():
 
 def test_golden_degrade_pair():
     lo, hi = degrade_pair(_img(1, (1, 64, 64, 3)), scale=4, jpeg_quality=50)
-    np.testing.assert_allclose(float(lo.mean()), 0.0039, atol=0.02)
-    np.testing.assert_allclose(float(lo.std()), 0.0717, atol=0.01)
+    # re-pinned 2026-08 after the antialias=False parity fix (ADVICE r1):
+    # non-antialiased 4x downscale of uniform noise keeps ~3.7x more std
+    np.testing.assert_allclose(float(lo.mean()), 0.0274, atol=0.02)
+    np.testing.assert_allclose(float(lo.std()), 0.2669, atol=0.02)
     assert lo.shape == (1, 16, 16, 3)
 
 

@@ -8,6 +8,7 @@ from denoise_gan_tpu.ops import (
     depth_to_space, space_to_depth, sobel_edges, high_pass_x_y,
     total_variation, total_variation_map, resize_with_crop_or_pad, renorm,
 )
+from denoise_gan_tpu.ops.image import resize_bicubic
 
 tf = pytest.importorskip("tensorflow")
 
@@ -59,6 +60,20 @@ def test_resize_with_crop_or_pad_matches_tf(rng):
         got = np.asarray(resize_with_crop_or_pad(jnp.asarray(x), th, tw))
         want = tf.image.resize_with_crop_or_pad(tf.constant(x), th, tw).numpy()
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_resize_bicubic_matches_tf(rng):
+    """Parity with tf.image.resize(method='bicubic') at its TF2 default
+    antialias=False — the reference's degradation downscale
+    (/root/reference/dataloader.py:121-123).  Exact at integer ratios (the
+    training path); tiny edge-kernel differences at fractional ratios."""
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    for (h, w), atol in [((16, 16), 1e-5), ((32, 32), 1e-5),
+                         ((128, 128), 1e-5), ((17, 23), 2e-3)]:
+        got = np.asarray(resize_bicubic(jnp.asarray(x), h, w))
+        want = tf.image.resize(tf.constant(x), (h, w),
+                               method="bicubic").numpy()
+        np.testing.assert_allclose(got, want, atol=atol)
 
 
 def test_renorm_range():
