@@ -126,31 +126,52 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
     flat_channels (with out_uint8 and scale>1) returns (H*s, W*s*3) — the
     SAME bytes as row-major HWC, host-reshapeable for free.  A 4K tensor
     with a 3-channel minor dim pays up to 42x lane padding on TPU; the 2D
-    layout makes the final depth_to_space ~23 ms/frame cheaper (PERF.md)."""
-    stride = tile - overlap
-    ny = _grid(height, tile, stride)
-    nx = _grid(width, tile, stride)
-    pad_h = (ny - 1) * stride + tile
-    pad_w = (nx - 1) * stride + tile
-    cc = channels * scale * scale
-    weight = jnp.asarray(_phase_feather(tile, scale, overlap, channels),
-                         acc_dtype)
+    layout makes the final depth_to_space ~23 ms/frame cheaper (PERF.md).
 
-    inv_norm = jax.jit(lambda: (1.0 / jnp.maximum(overlap_add(
-        jnp.broadcast_to(weight.astype(jnp.float32),
-                         (ny * nx, tile, tile, cc)),
-        ny, nx, tile, stride), 1e-8)).astype(acc_dtype))()
+    tile == 0 selects WHOLE-FRAME mode: the body+coarse-tail run on the full
+    padded coarse canvas in one shot — no extract/feather/overlap-add at all
+    (exact inference, no tile-seam approximation).  Activations stay coarse
+    (channels*scale^2 lanes) so HBM fits comfortably where the naive
+    fine-space whole-frame path OOM'd (PERF.md round 1)."""
+    whole = tile <= 0
+    if whole:
+        # pad to sublane-friendly multiples; no overlap machinery
+        tile = overlap = 0
+        stride = 1
+        ny = nx = 1
+        pad_h = -(-height // 8) * 8
+        pad_w = -(-width // 128) * 128
+    else:
+        stride = tile - overlap
+        ny = _grid(height, tile, stride)
+        nx = _grid(width, tile, stride)
+        pad_h = (ny - 1) * stride + tile
+        pad_w = (nx - 1) * stride + tile
+    cc = channels * scale * scale
+
+    if whole:
+        weight = inv_norm = None
+    else:
+        weight = jnp.asarray(_phase_feather(tile, scale, overlap, channels),
+                             acc_dtype)
+        inv_norm = jax.jit(lambda: (1.0 / jnp.maximum(overlap_add(
+            jnp.broadcast_to(weight.astype(jnp.float32),
+                             (ny * nx, tile, tile, cc)),
+            ny, nx, tile, stride), 1e-8)).astype(acc_dtype))()
 
     def one_frame(frame01, inv_norm):
         x = frame01 * 2.0 - 1.0
         x = jnp.pad(x, ((0, pad_h - height), (0, pad_w - width), (0, 0)),
                     mode="edge")
-        tiles = extract_grid(x, ny, nx, tile, stride)
-        out = forward_coarse(tiles)                      # (N, t, t, cc)
-        acc = overlap_add(out.astype(acc_dtype) * weight,
-                          ny, nx, tile, stride)
-        acc = acc * inv_norm
-        out01 = jnp.clip((acc + 1.0) / 2.0, 0.0, 1.0)
+        if whole:
+            acc = forward_coarse(x[None])[0]             # (Hp, Wp, cc)
+        else:
+            tiles = extract_grid(x, ny, nx, tile, stride)
+            out = forward_coarse(tiles)                  # (N, t, t, cc)
+            acc = overlap_add(out.astype(acc_dtype) * weight,
+                              ny, nx, tile, stride)
+            acc = acc * inv_norm
+        out01 = jnp.clip((acc.astype(acc_dtype) + 1.0) / 2.0, 0.0, 1.0)
         if out_uint8:
             out01 = (out01 * 255.0 + 0.5).astype(jnp.uint8)
         if scale > 1:

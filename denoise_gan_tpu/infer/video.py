@@ -82,7 +82,10 @@ def process_video(args) -> dict:
     # overlap-add stitch in ONE compiled program per frame, infer/engine.py)
     engine = None
     engine_flat = False
-    if args.tile and args.fast and bundle.upscales:
+    # --tile 0 --fast 1 selects the whole-frame engine: exact inference (no
+    # tile-seam approximation; measured ~1.4% of pixels differ by >1 u8 level
+    # vs tiled 144/4) at ~0.75x the tiled throughput (PERF.md r2).
+    if args.fast and bundle.upscales:
         from denoise_gan_tpu.infer.engine import build_frame_engine
         from denoise_gan_tpu.infer.fast import build_fast_coarse
         from denoise_gan_tpu.io.checkpoint import load_generator
