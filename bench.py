@@ -43,7 +43,8 @@ def main() -> None:
     denoise_frame = build_frame_engine(forward_coarse, H, W, scale,
                                        TILE, OVERLAP, out_uint8=True,
                                        flat_channels=True,
-                                       acc_dtype=jnp.bfloat16)
+                                       acc_dtype=jnp.bfloat16,
+                                       stitch="crop")
 
     rng = np.random.default_rng(0)
     frames = [jnp.asarray(rng.random((H, W, 3)), jnp.float32)

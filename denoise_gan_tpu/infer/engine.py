@@ -82,6 +82,24 @@ def overlap_add(tiles: jax.Array, ny: int, nx: int, tile: int, stride: int
     return jnp.concatenate([cols, lastc], axis=1)        # (H', W', c)
 
 
+def crop_stitch(tiles: jax.Array, ny: int, nx: int, tile: int, stride: int
+                ) -> jax.Array:
+    """Hard-cut stitching: each tile contributes its central stride x stride
+    cell (overlap/2 margins cropped) — one slice+transpose+reshape pass over
+    the tile batch instead of the feathered overlap-add's pad/concat dance.
+
+    Requires the frame to be edge-padded by overlap/2 on top/left so core
+    cells tile the output exactly (build_frame_engine stitch='crop' does
+    this).  Near seams this picks the better-converged tile instead of
+    blending two approximations; measured against the exact whole-frame
+    output it is as close as feathering (PERF.md r2) and ~5x cheaper."""
+    m0 = (tile - stride) // 2
+    c = tiles.shape[-1]
+    x = tiles.reshape(ny, nx, tile, tile, c)
+    core = x[:, :, m0:m0 + stride, m0:m0 + stride, :]
+    return core.transpose(0, 2, 1, 3, 4).reshape(ny * stride, nx * stride, c)
+
+
 def extract_grid(frame: jax.Array, ny: int, nx: int, tile: int, stride: int
                  ) -> jax.Array:
     """(Hp, Wp, C) padded frame -> (ny*nx, t, t, C) regular-grid tiles.
@@ -113,7 +131,8 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
                        tile: int = 256, overlap: int = 16,
                        channels: int = 3, frames_per_call: int = 1,
                        out_uint8: bool = False, flat_channels: bool = False,
-                       acc_dtype=jnp.float32):
+                       acc_dtype=jnp.float32, mesh=None,
+                       stitch: str = "feather"):
     """Build a jitted frame01 (H, W, 3) -> out (H*scale, W*scale, 3) fn.
 
     `forward_coarse`: (N, tile, tile, 3) [-1,1] -> (N, tile, tile,
@@ -132,8 +151,15 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
     padded coarse canvas in one shot — no extract/feather/overlap-add at all
     (exact inference, no tile-seam approximation).  Activations stay coarse
     (channels*scale^2 lanes) so HBM fits comfortably where the naive
-    fine-space whole-frame path OOM'd (PERF.md round 1)."""
+    fine-space whole-frame path OOM'd (PERF.md round 1).
+
+    mesh: a jax.sharding.Mesh for multi-chip inference — the TILE BATCH is
+    sharded over the 'data' axis, so each chip runs the generator on its own
+    tiles and GSPMD gathers them for the stitch (the frame-level analog of
+    the reference's absent data parallelism, SURVEY.md §2 C19)."""
     whole = tile <= 0
+    crop = stitch == "crop" and not whole
+    m0 = (overlap // 2) if crop else 0
     if whole:
         # pad to sublane-friendly multiples; no overlap machinery
         tile = overlap = 0
@@ -141,6 +167,14 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
         ny = nx = 1
         pad_h = -(-height // 8) * 8
         pad_w = -(-width // 128) * 128
+    elif crop:
+        # top/left pre-pad of overlap/2 so tile CORE cells land exactly on
+        # real pixels (crop_stitch)
+        stride = tile - overlap
+        ny = -(-height // stride)
+        nx = -(-width // stride)
+        pad_h = (ny - 1) * stride + tile
+        pad_w = (nx - 1) * stride + tile
     else:
         stride = tile - overlap
         ny = _grid(height, tile, stride)
@@ -149,7 +183,7 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
         pad_w = (nx - 1) * stride + tile
     cc = channels * scale * scale
 
-    if whole:
+    if whole or crop:
         weight = inv_norm = None
     else:
         weight = jnp.asarray(_phase_feather(tile, scale, overlap, channels),
@@ -161,16 +195,27 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
 
     def one_frame(frame01, inv_norm):
         x = frame01 * 2.0 - 1.0
-        x = jnp.pad(x, ((0, pad_h - height), (0, pad_w - width), (0, 0)),
+        x = jnp.pad(x, ((m0, pad_h - height - m0),
+                        (m0, pad_w - width - m0), (0, 0)),
                     mode="edge")
         if whole:
             acc = forward_coarse(x[None])[0]             # (Hp, Wp, cc)
         else:
             tiles = extract_grid(x, ny, nx, tile, stride)
+            if mesh is not None:
+                from denoise_gan_tpu.parallel.mesh import DATA_AXIS
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                shard = NamedSharding(mesh, P(DATA_AXIS))
+                tiles = jax.lax.with_sharding_constraint(tiles, shard)
             out = forward_coarse(tiles)                  # (N, t, t, cc)
-            acc = overlap_add(out.astype(acc_dtype) * weight,
-                              ny, nx, tile, stride)
-            acc = acc * inv_norm
+            if mesh is not None:
+                out = jax.lax.with_sharding_constraint(out, shard)
+            if crop:
+                acc = crop_stitch(out.astype(acc_dtype), ny, nx, tile, stride)
+            else:
+                acc = overlap_add(out.astype(acc_dtype) * weight,
+                                  ny, nx, tile, stride)
+                acc = acc * inv_norm
         out01 = jnp.clip((acc.astype(acc_dtype) + 1.0) / 2.0, 0.0, 1.0)
         if out_uint8:
             out01 = (out01 * 255.0 + 0.5).astype(jnp.uint8)

@@ -98,7 +98,8 @@ def process_video(args) -> dict:
             flat = not args.score
             engine = build_frame_engine(fwd_coarse, fh, fw, scale,
                                         args.tile, args.tile_overlap,
-                                        out_uint8=flat, flat_channels=flat)
+                                        out_uint8=flat, flat_channels=flat,
+                                        stitch=args.stitch)
             engine_flat = flat
         except ValueError:
             engine = None
@@ -231,6 +232,11 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--tile", default=256, type=int,
                         help="0 = whole-frame mode (reference behavior)")
     parser.add_argument("--tile_overlap", default=32, type=int)
+    parser.add_argument("--stitch", default="crop",
+                        choices=["crop", "feather"],
+                        help="tile stitching: hard-cut center crop (faster, "
+                             "equal quality vs the exact whole-frame output "
+                             "— PERF.md r2) or feathered overlap-add")
     parser.add_argument("--tile_batch", default=0, type=int)
     parser.add_argument("--score", default=1, type=int,
                         help="compute on-device PSNR/SSIM per frame")

@@ -59,6 +59,13 @@ def test_engine_matches_direct_tiled_and_whole(rng):
     got_w = np.asarray(eng_w(frame01))
     np.testing.assert_allclose(got_w, np.asarray(want), atol=1e-5)
 
+    # crop stitching is exact for a local op (any tile computes the same
+    # value for its core pixels)
+    eng_c = build_frame_engine(fwd, H, W, scale, tile=16, overlap=4,
+                               stitch="crop")
+    got_c = np.asarray(eng_c(frame01))
+    np.testing.assert_allclose(got_c, np.asarray(want), atol=1e-5)
+
 
 def test_engine_flat_uint8_layout(rng):
     """(H*s, W*s*3) uint8 flat output is byte-identical to HWC."""

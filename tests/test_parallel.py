@@ -59,6 +59,27 @@ def test_spatially_sharded_conv_matches_single_device(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_engine_tile_sharded_matches_single_device(rng):
+    """Frame engine with the tile batch sharded over the 8-device 'data'
+    axis must reproduce the single-device output — multi-chip video
+    inference (VERDICT r1 #7)."""
+    from denoise_gan_tpu.infer.engine import build_frame_engine
+
+    w = jnp.asarray(np.random.default_rng(1).standard_normal((3, 12)) * 0.3,
+                    jnp.float32)
+
+    def fwd(x):  # local 'generator', scale 2
+        return jnp.tanh(x @ w)
+
+    H, W = 48, 80
+    frame01 = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    eng1 = build_frame_engine(fwd, H, W, 2, tile=16, overlap=4)
+    mesh = make_mesh(8)
+    eng8 = build_frame_engine(fwd, H, W, 2, tile=16, overlap=4, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(eng8(frame01)),
+                               np.asarray(eng1(frame01)), atol=1e-5)
+
+
 def test_data_parallel_grads_match_single_device(rng):
     """Replicated-params + sharded-batch jit must produce the same update as
     single-device (GSPMD all-reduces the grads)."""
