@@ -1,0 +1,67 @@
+"""Fused Pallas tail kernel vs the plain FSRGANTail module.
+
+The kernel (ops/pallas/tail.py) must reproduce the plain per-tile tail on
+every CORE pixel (crop-stitch geometry).  Runs in interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denoise_gan_tpu.models.fsrgan import FSRGANTail
+from denoise_gan_tpu.ops.image import depth_to_space
+from denoise_gan_tpu.ops.pallas.tail import (
+    CORE, T, build_fused_tail, make_h3b, prep_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def tail_setup():
+    tail = FSRGANTail()
+    h0 = jnp.zeros((1, T, T, 32), jnp.float32)
+    params = tail.init(jax.random.key(0), h0)["params"]
+    return tail, params
+
+
+def _plain_core(tail, params, h_tiles, ny, nx):
+    """Reference: plain tail per tile -> fine output -> core crop-stitch."""
+    fine = tail.apply({"params": params}, h_tiles)      # (N, 4T, 4T, 3)
+    n, fh, fw, c = fine.shape
+    m0 = 2 * 4
+    core = fine[:, m0:m0 + CORE * 4, m0:m0 + CORE * 4, :]
+    core = core.reshape(ny, nx, CORE * 4, CORE * 4, c)
+    return core.transpose(0, 2, 1, 3, 4).reshape(ny * CORE * 4,
+                                                 nx * CORE * 4, c)
+
+
+@pytest.mark.parametrize("ny,nx,brc", [(1, 1, 12), (1, 2, 24)])
+def test_fused_tail_matches_plain(tail_setup, rng, ny, nx, brc):
+    tail, params = tail_setup
+    h = jnp.asarray(rng.standard_normal((ny * nx, T, T, 32)) * 0.5,
+                    jnp.float32)
+
+    fused = build_fused_tail(params, ny, nx, brc=brc, interpret=True)
+    got48 = fused(h.astype(jnp.bfloat16))               # (nyC, nxC, 48)
+    got = np.asarray(depth_to_space(
+        got48.astype(jnp.float32)[None], 4)[0])
+
+    want = np.asarray(_plain_core(tail, params, h, ny, nx))
+    # bf16 matmuls vs f32 convs: tolerance at bf16 resolution of tanh range
+    np.testing.assert_allclose(got, want, atol=3e-2)
+    assert np.abs(got - want).mean() < 4e-3
+
+
+def test_make_h3b_layout(rng):
+    h = jnp.asarray(rng.standard_normal((1, T, T, 32)), jnp.float32)
+    brc = 12
+    h3b = make_h3b(h, brc)
+    assert h3b.shape == (1, CORE // brc, 3, 32, (brc + 6) * 128)
+    # band b, dc, channel t, chunk u, lane c  ==  h_pad[b*brc+2+u, c+dc, t]
+    hp = np.asarray(jnp.pad(h.astype(jnp.bfloat16),
+                            ((0, 0), (3, 3), (3, 3), (0, 0))))
+    got = np.asarray(h3b)
+    for b, dc, u, c in [(0, 0, 0, 0), (1, 2, 5, 100), (9, 1, 17, 42)]:
+        np.testing.assert_array_equal(
+            got[0, b, dc, :, u * 128 + c],
+            hp[0, b * brc + 2 + u, c + dc, :])

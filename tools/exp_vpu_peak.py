@@ -1,16 +1,17 @@
 #!/usr/bin/env python
-"""Microbench: VPU FMA peak, roll overhead, depthwise-pattern throughput,
-and MXU matmul throughput at the tail kernel's shapes (PERF.md r2).
+"""Microbench: VPU FMA peak, roll overhead, and MXU matmul throughput at the
+tail/body kernel shapes (PERF.md r2).
 
-All loops rotate two distinct inputs (the runtime elides identical-buffer
-repeats — CLAUDE.md).
+Timing uses CHAINED dispatches (each iteration's input depends on the
+previous output) — rotating a small set of inputs is NOT enough: the axon
+runtime elides repeats aggressively (a 'pure FMA' loop measured an
+impossible 16.8 TF/s before chaining).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_vpu_peak.py
 """
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
@@ -20,63 +21,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def timeit(fn, inputs, n=32, label="", flops=0.0):
-    jax.block_until_ready(fn(inputs[0]))
+def time_chained(fn, x0, n=32, label="", flops=0.0):
+    """fn: x -> same-shaped x. Chains n dispatches."""
+    x = fn(x0)
+    jax.block_until_ready(x)  # compile
     t0 = time.time()
-    out = None
-    for i in range(n):
-        out = fn(inputs[i % 2])
-    jax.block_until_ready(out)
+    for _ in range(n):
+        x = fn(x)
+    jax.block_until_ready(x)
     dt = (time.time() - t0) / n
-    tfs = flops / dt / 1e12
-    print(f"{label}: {dt*1000:.3f} ms  {tfs:.2f} TF/s", flush=True)
-    return tfs
+    print(f"{label}: {dt*1000:.3f} ms  {flops/dt/1e12:.2f} TF/s", flush=True)
 
 
 ITERS = 256
 
 
 def fma_kernel(x_ref, o_ref):
-    acc = x_ref[:]
     c1 = jnp.float32(1.000001)
     c2 = jnp.float32(1e-7)
-    for _ in range(ITERS):
-        acc = acc * c1 + c2
-    o_ref[:] = acc
+
+    def body(_, acc):
+        return acc * c1 + c2
+
+    o_ref[:] = jax.lax.fori_loop(0, ITERS, body, x_ref[:])
 
 
 def roll_fma_kernel(x_ref, o_ref):
-    """Depthwise-ish pattern: per iteration one lane-roll + FMA."""
-    acc = x_ref[:]
-    c1 = jnp.float32(1.000001)
-    for _ in range(ITERS // 8):
-        r = acc
-        for _ in range(8):
-            r = pltpu.roll(r, 1, 1)
-            acc = acc + r * c1
-    o_ref[:] = acc
+    c1 = jnp.float32(0.999999)
 
+    def body(_, acc):
+        return acc + pltpu.roll(acc, 1, 1) * c1
 
-def dw9_kernel(x_ref, w_ref, o_ref):
-    """3x3 depthwise on (rows, W*?) with major-dim row shifts and lane rolls
-    for the column shifts: per output 9 FMA + 2 rolls."""
-    rows = x_ref.shape[0] - 2
-    w = w_ref[:]
-    acc = None
-    for dr in range(3):
-        band = x_ref[pl.ds(dr, rows), :]  # aligned? dr=1,2 misaligned sublane
-        for dc, sh in ((0, 1), (1, 0), (2, -1)):
-            v = pltpu.roll(band, sh, 1) if sh else band
-            term = v * w[dr, dc]
-            acc = term if acc is None else acc + term
-    o_ref[:] = acc
+    o_ref[:] = jax.lax.fori_loop(0, ITERS // 2, body, x_ref[:])
 
 
 def main():
     rng = np.random.default_rng(0)
     shape = (512, 1024)
-    xs = [jnp.asarray(rng.standard_normal(shape), jnp.float32)
-          for _ in range(2)]
+    x0 = jnp.asarray(rng.standard_normal(shape) * 1e-3, jnp.float32)
 
     f = jax.jit(lambda x: pl.pallas_call(
         fma_kernel,
@@ -84,8 +66,8 @@ def main():
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(x))
-    timeit(f, xs, label="VPU pure FMA f32",
-           flops=shape[0] * shape[1] * ITERS * 2)
+    time_chained(f, x0, label="VPU pure FMA f32 (chained)",
+                 flops=shape[0] * shape[1] * ITERS * 2)
 
     g = jax.jit(lambda x: pl.pallas_call(
         roll_fma_kernel,
@@ -93,32 +75,37 @@ def main():
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(x))
-    timeit(g, xs, label="VPU roll+FMA f32",
-           flops=shape[0] * shape[1] * ITERS * 2)
+    # per iter: one roll + one FMA over the block; count FMA flops only
+    time_chained(g, x0, label="VPU roll+FMA f32 (chained)",
+                 flops=shape[0] * shape[1] * (ITERS // 2) * 2)
 
-    # depthwise pattern on a (130, 1920) slab -> (128, 1920)
-    dwshape = (130, 1920)
-    dxs = [jnp.asarray(rng.standard_normal(dwshape), jnp.float32)
-           for _ in range(2)]
-    wk = jnp.asarray(rng.standard_normal((3, 3)), jnp.float32)
-    h = jax.jit(lambda x: pl.pallas_call(
-        dw9_kernel,
-        out_shape=jax.ShapeDtypeStruct((128, 1920), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(x, wk))
-    timeit(h, dxs, label="VPU dw3x3 pattern f32",
-           flops=128 * 1920 * 9 * 2)
+    # MXU shapes (bf16), chained via a tiny feedback term.
+    # form A: (M,K)@(K,N) canonical;  form B: dot_general((K,N),(K,M))
+    # contracting sublanes of both (the fused-tail kernel's form).
+    for (M, K, N) in [(2560, 128, 128), (2560, 384, 128), (2560, 1152, 128),
+                      (2560, 1152, 48), (8192, 512, 512)]:
+        b = jnp.asarray(rng.standard_normal((K, N)) * 0.01, jnp.bfloat16)
+        x0 = jnp.asarray(rng.standard_normal((M, K)) * 0.01, jnp.bfloat16)
 
-    # MXU shapes of interest (bf16)
-    for (M, K, N) in [(2880, 384, 128), (2880, 288, 128), (2880, 512, 128),
-                      (2880, 512, 512), (2880, 1152, 128), (8192, 512, 512)]:
-        a = [jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
-             for _ in range(2)]
-        b = jnp.asarray(rng.standard_normal((K, N)), jnp.bfloat16)
-        mm = jax.jit(lambda x, b=b: (x @ b).astype(jnp.bfloat16))
-        timeit(mm, a, label=f"MXU bf16 {M}x{K}x{N}", flops=2 * M * K * N)
+        @jax.jit
+        def step(x, b=b):
+            y = jax.lax.dot_general(x, b, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            return x + (jnp.sum(y) * 1e-20).astype(x.dtype)
+
+        time_chained(step, x0, label=f"MXU A bf16 {M}x{K}x{N} (chained)",
+                     flops=2 * M * K * N)
+
+        xt0 = jnp.asarray(rng.standard_normal((K, M)) * 0.01, jnp.bfloat16)
+
+        @jax.jit
+        def step_t(x, b=b):
+            y = jax.lax.dot_general(b, x, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            return x + (jnp.sum(y) * 1e-20).astype(x.dtype)
+
+        time_chained(step_t, xt0, label=f"MXU B bf16 {M}x{K}x{N} (chained)",
+                     flops=2 * M * K * N)
 
 
 if __name__ == "__main__":
