@@ -31,7 +31,9 @@ from denoise_gan_tpu.ops.image import (
     high_pass_x_y, sobel_variation, to_uint8, total_variation_map,
 )
 from denoise_gan_tpu.parallel.mesh import init_distributed, make_mesh, shard_batch
-from denoise_gan_tpu.train.state import GANTrainState, create_train_state, param_count
+from denoise_gan_tpu.train.state import (
+    GANTrainState, create_train_state, model_summary, param_count,
+)
 from denoise_gan_tpu.train.step import build_train_step, jit_train_step
 from denoise_gan_tpu.utils.config import TrainConfig, get_path
 from denoise_gan_tpu.utils.logging import SummaryWriter, timestamped_run_dir
@@ -141,6 +143,11 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
 
     bundle = build_models(family, scale=cfg.scale, fp16=bool(cfg.fp16))
     state = create_train_state(bundle, cfg, jax.random.key(cfg.seed))
+    # per-layer summaries for both nets (/root/reference/train_fsrgan.py:231-234)
+    print(model_summary(f"{family}_generator", state.gen.params,
+                        state.gen.batch_stats))
+    print(model_summary(f"{family}_discriminator", state.disc.params,
+                        state.disc.batch_stats))
     print(f"Generator params: {param_count(state.gen.params):,}  "
           f"Discriminator params: {param_count(state.disc.params):,}  "
           f"devices: {n_dev}")

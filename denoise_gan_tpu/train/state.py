@@ -94,3 +94,31 @@ def create_train_state(bundle: ModelBundle, cfg: TrainConfig,
 
 def param_count(tree: Any) -> int:
     return sum(x.size for x in jax.tree.leaves(tree))
+
+
+def model_summary(name: str, params: Any, batch_stats: Any = None) -> str:
+    """Keras model.summary()-style per-layer parameter table — the
+    reference prints both nets' summaries before training
+    (/root/reference/train_fsrgan.py:231-234)."""
+    lines = [f'Model: "{name}"',
+             "_" * 64,
+             f"{'Layer (path)':<40}{'Param shapes':<14}{'Param #':>10}",
+             "=" * 64]
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    by_module: dict[str, list] = {}
+    for path, leaf in flat:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        module = "/".join(keys[:-1]) or keys[0]
+        by_module.setdefault(module, []).append((keys[-1], leaf))
+    total = 0
+    for module, leaves in by_module.items():
+        n = sum(l.size for _, l in leaves)
+        total += n
+        shapes = ",".join("x".join(map(str, l.shape)) for _, l in leaves)
+        lines.append(f"{module:<40}{shapes[:13]:<14}{n:>10,}")
+    lines.append("=" * 64)
+    stats = param_count(batch_stats) if batch_stats else 0
+    lines.append(f"Total params: {total:,}"
+                 + (f" (+ {stats:,} BatchNorm stats)" if stats else ""))
+    lines.append("_" * 64)
+    return "\n".join(lines)
