@@ -123,7 +123,10 @@ def prep_weights(tail_params: Any) -> dict[str, np.ndarray]:
 
 def make_h3b(h_tiles: jax.Array, brc: int) -> jax.Array:
     """(N, T, T, 32) body output -> (N, bands, 3, 32, (brc+6)*128) bf16:
-    zero-padded (conv SAME), dc-shifted x3, chunk-flattened per band."""
+    zero-padded (conv SAME), dc-shifted x3, chunk-flattened per band.
+    (v1 banded layout — kept for the per-band-grid kernel; duplicates the
+    band halos, ~16 ms of XLA gather/transpose at 1080p.  The per-tile
+    kernel uses make_h3 instead.)"""
     n = h_tiles.shape[0]
     bands = CORE // brc
     rows = brc + 6
@@ -139,6 +142,32 @@ def make_h3b(h_tiles: jax.Array, brc: int) -> jax.Array:
     return hb.reshape(n, bands, 3, CIN, rows * 128)
 
 
+def make_h3(h_tiles: jax.Array, prep: str = "transpose") -> jax.Array:
+    """(N, T, T, 32) body output -> (N, 32, 130*128) bf16 chunk-flat, ONE
+    copy: channel-major, rows as 128-lane chunks holding cols [-1, 127)
+    (124 output cols only ever read cols [-1,126), so one 128-chunk covers
+    every tap; the dc-shifts become two in-kernel lane rolls).
+
+    The (px, ch) -> (ch, px) relayout is the expensive part on TPU; two
+    producers are available:
+    * 'transpose' — jnp.transpose (XLA relayout)
+    * 'conv'      — 1x1 identity conv with NCHW output layout (the conv
+      emitter performs the relayout; measured faster, PERF.md r2)
+    The final (130,128)->(16640,) flatten is layout-free because the minor
+    dim is exactly one lane-tile wide."""
+    n = h_tiles.shape[0]
+    hb = h_tiles.astype(jnp.bfloat16)
+    hp = jnp.pad(hb, ((0, 0), (3, 3), (1, 3), (0, 0)))     # (N,130,128,32)
+    if prep == "conv":
+        eye = jnp.eye(CIN, dtype=jnp.bfloat16).reshape(1, 1, CIN, CIN)
+        ht = jax.lax.conv_general_dilated(
+            hp, eye, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NCHW"))    # (N,32,130,128)
+    else:
+        ht = hp.transpose(0, 3, 1, 2)                      # (N,32,130,128)
+    return ht.reshape(n, CIN, (T + 6) * 128)
+
+
 # ---------------------------------------------------------------------------
 # kernel
 
@@ -149,73 +178,101 @@ def _dot_kn(w, x):
         preferred_element_type=jnp.float32)
 
 
-def _tail_kernel(h3_ref, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
+def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                  w3_ref, b3_ref, out_ref,
-                 x1, u1, u1r, x2, r_buf, x3, brc: int):
+                 h3, hroll, x1, u1, u1r, x2, r_buf, x3, sem, brc: int):
+    """One grid step = one tile; internal fori_loop over row bands (keeps
+    VMEM bounded without duplicating band halos in HBM).
+
+    Lane conventions (within each 128-lane row chunk):
+      h: lane = col + 1 (cols [-1, 127));  U1: lane = col (cols [0, 124));
+      U2/R_e/X3: lane = col + 1;  output: lane = col + 1 -> real [3:123)."""
     m1 = (brc + 4) * 128
     m2 = (brc + 2) * 128
     m3 = brc * 128
+    bands = CORE // brc
+    lh = (T + 6) * 128
 
-    # ---- up1: X1 (288, M1) <- 9 aligned slices of the 3 dc-shifted h copies
-    for dr in range(3):
-        for dc in range(3):
-            x1[(dr * 3 + dc) * CIN:(dr * 3 + dc + 1) * CIN, :] = \
-                h3_ref[0, 0, dc, :, dr * 128:dr * 128 + m1]
-    v = _dot_kn(w1_ref[:], x1[:]) + b1_ref[:]              # (128, M1)
-    u1[:] = jnp.where(v >= 0, v, a1_ref[:] * v)            # PReLU, f32
-    # lane shifts +1/+2 for the up2 column taps (f32 rolls, then bf16);
-    # pltpu.roll wants non-negative shifts: roll(x, L-s) == out[l] = in[l+s]
-    u1r[0] = pltpu.roll(u1[:], m1 - 1, 1).astype(jnp.bfloat16)
-    u1r[1] = pltpu.roll(u1[:], m1 - 2, 1).astype(jnp.bfloat16)
+    n = pl.program_id(0)
+    cp = pltpu.make_async_copy(h3_hbm.at[n], h3, sem)
+    cp.start()
+    cp.wait()
+    # dc column taps as whole-tile lane shifts: X1[l=col] = h[col+dc-1]
+    # = h_lane(l + dc); roll(x, L-s): out[l] = in[l+s]
+    hf = h3[:].astype(jnp.float32)
+    hroll[0] = pltpu.roll(hf, lh - 1, 1).astype(jnp.bfloat16)
+    hroll[1] = pltpu.roll(hf, lh - 2, 1).astype(jnp.bfloat16)
 
-    # ---- up2: per row-phase a, one shared X2 (384, M2); two matmuls (a2)
-    for a in range(2):
-        for du_idx in range(3):
-            du = du_idx - 1
-            app = a + du
-            a_src, cyu = app & 1, (app - (app & 1)) // 2
-            for l in range(4):
-                dvp = l - 1
-                b_src, cxu = dvp & 1, (dvp - (dvp & 1)) // 2
-                s = cxu + 1                                # lane shift 0..2
-                blk = (a_src * 2 + b_src) * CIN
-                off = (cyu + 1) * 128
-                k0 = (du_idx * 4 + l) * CIN
-                if s == 0:
-                    x2[k0:k0 + CIN, :] = \
-                        u1[blk:blk + CIN, off:off + m2].astype(jnp.bfloat16)
-                else:
-                    x2[k0:k0 + CIN, :] = u1r[s - 1, blk:blk + CIN,
-                                             off:off + m2]
-        for a2i in range(2):
-            v = _dot_kn(w2_ref[a, a2i], x2[:]) + b2_ref[a2i]
-            r_buf[2 * a + a2i] = jnp.where(v >= 0, v, a2_ref[:] * v)
+    def band(b, carry):
+        base = b * brc + 2     # h_pad row chunk of U1 row 0 (dr=0)
 
-    # ---- final: X3 (1152, M3) packed from the R_e buffers
-    for rho in range(-1, 5):
-        e, cy = rho & 3, (rho - (rho & 3)) // 4
-        off = (cy + 1) * 128
-        for kap in range(-1, 5):
-            f, cxf = kap & 3, (kap - (kap & 3)) // 4
-            k0 = ((rho + 1) * 6 + (kap + 1)) * CIN
-            src = r_buf[e, f * CIN:(f + 1) * CIN, off:off + m3]
-            if cxf:
-                src = pltpu.roll(src, (-cxf) % m3, 1)
-            x3[k0:k0 + CIN, :] = src.astype(jnp.bfloat16)
+        # ---- up1: X1 (288, M1) <- 9 aligned slices of h / rolled h
+        for dr in range(3):
+            off1 = pl.multiple_of((base + dr) * 128, 128)
+            for dc in range(3):
+                src = h3 if dc == 0 else hroll.at[dc - 1]
+                x1[(dr * 3 + dc) * CIN:(dr * 3 + dc + 1) * CIN, :] = \
+                    src[:, pl.ds(off1, m1)]
+        v = _dot_kn(w1_ref[:], x1[:]) + b1_ref[:]          # (128, M1)
+        u1[:] = jnp.where(v >= 0, v, a1_ref[:] * v)        # PReLU, f32
+        # up2 column taps: X2[l=j+1] = U1[lane j+cx] = U1[l + cx - 1];
+        # shifts cx-1 in {-2,-1,0}: roll(x, k): out[l] = in[l-k]
+        u1r[0] = pltpu.roll(u1[:], 1, 1).astype(jnp.bfloat16)
+        u1r[1] = pltpu.roll(u1[:], 2, 1).astype(jnp.bfloat16)
 
-    res = jax.lax.dot_general(
-        x3[:], w3_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # (M3, 48)
-    res = jnp.tanh(res + b3_ref[:])
-    out_ref[:, 0] = res.astype(jnp.bfloat16).reshape(brc, 128, 48)
+        # ---- up2: per row-phase a, one shared X2 (384, M2); 2 matmuls (a2)
+        for a in range(2):
+            for du_idx in range(3):
+                app = a + du_idx - 1
+                a_src, cyu = app & 1, (app - (app & 1)) // 2
+                for l in range(4):
+                    dvp = l - 1
+                    b_src, cxu = dvp & 1, (dvp - (dvp & 1)) // 2
+                    blk = (a_src * 2 + b_src) * CIN
+                    off = (cyu + 1) * 128
+                    k0 = (du_idx * 4 + l) * CIN
+                    if cxu == 1:        # shift 0: U1 direct
+                        x2[k0:k0 + CIN, :] = \
+                            u1[blk:blk + CIN,
+                               off:off + m2].astype(jnp.bfloat16)
+                    else:               # shift cxu-1 in {-1,-2}
+                        x2[k0:k0 + CIN, :] = u1r[-cxu, blk:blk + CIN,
+                                                 off:off + m2]
+            for a2i in range(2):
+                v2 = _dot_kn(w2_ref[a, a2i], x2[:]) + b2_ref[a2i]
+                r_buf[2 * a + a2i] = jnp.where(
+                    v2 >= 0, v2, a2_ref[:] * v2).astype(jnp.bfloat16)
+
+        # ---- final: X3 (1152, M3) packed from the R_e buffers
+        for rho in range(-1, 5):
+            e, cy = rho & 3, (rho - (rho & 3)) // 4
+            off = (cy + 1) * 128
+            for kap in range(-1, 5):
+                f, cxf = kap & 3, (kap - (kap & 3)) // 4
+                k0 = ((rho + 1) * 6 + (kap + 1)) * CIN
+                src = r_buf[e, f * CIN:(f + 1) * CIN, off:off + m3]
+                if cxf:
+                    # bf16 rotates are rejected; roll in f32
+                    src = pltpu.roll(src.astype(jnp.float32),
+                                     (-cxf) % m3, 1)
+                x3[k0:k0 + CIN, :] = src.astype(jnp.bfloat16)
+
+        res = jax.lax.dot_general(
+            x3[:], w3_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (M3, 48)
+        res = jnp.tanh(res + b3_ref[:])
+        out_ref[pl.ds(b * brc, brc), 0] = \
+            res.astype(jnp.bfloat16).reshape(brc, 128, 48)
+        return carry
+
+    jax.lax.fori_loop(0, bands, band, 0)
 
 
 def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
-                    brc: int = 12, interpret: bool = False):
-    """Returns fn(h3b (N, bands, 3, 32, (brc+6)*128) bf16) ->
+                    brc: int = 8, interpret: bool = False):
+    """Returns fn(h3 (N, 32, (T+6)*128) bf16) ->
     canvas (ny*CORE, nx, 128, 48) bf16 (real cols at [3:123])."""
     assert CORE % brc == 0
-    bands = CORE // brc
     n_tiles = ny * nx
     m1, m2, m3 = (brc + 4) * 128, (brc + 2) * 128, brc * 128
 
@@ -230,11 +287,8 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
 
     kernel = functools.partial(_tail_kernel, brc=brc)
 
-    grid = (n_tiles, bands)
     in_specs = [
-        pl.BlockSpec((1, 1, 3, CIN, (brc + 6) * 128),
-                     lambda n, b: (n, b, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),    # h3 stays in HBM; manual DMA
         pl.BlockSpec(memory_space=pltpu.VMEM),   # W1m
         pl.BlockSpec(memory_space=pltpu.VMEM),   # b1
         pl.BlockSpec(memory_space=pltpu.VMEM),   # alpha1
@@ -245,44 +299,48 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # b3
     ]
     out_spec = pl.BlockSpec(
-        (brc, 1, 128, 48),
-        lambda n, b, nx=nx, bands=bands: (n // nx * bands + b, n % nx, 0, 0),
+        (CORE, 1, 128, 48),
+        lambda n, nx=nx: (n // nx, n % nx, 0, 0),
         memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((ny * CORE, nx, 128, 48),
                                        jnp.bfloat16),
         scratch_shapes=[
+            pltpu.VMEM((CIN, (T + 6) * 128), jnp.bfloat16),     # h3 tile
+            pltpu.VMEM((2, CIN, (T + 6) * 128), jnp.bfloat16),  # h rolled
             pltpu.VMEM((9 * CIN, m1), jnp.bfloat16),       # X1
             pltpu.VMEM((128, m1), jnp.float32),            # U1
             pltpu.VMEM((2, 128, m1), jnp.bfloat16),        # U1 rolled
             pltpu.VMEM((12 * CIN, m2), jnp.bfloat16),      # X2
-            pltpu.VMEM((4, 128, m2), jnp.float32),         # R_e
+            pltpu.VMEM((4, 128, m2), jnp.bfloat16),        # R_e
             pltpu.VMEM((36 * CIN, m3), jnp.bfloat16),      # X3
+            pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )
 
-    def run(h3b):
-        # reshape to put (tile, band) blocks on the leading dims the specs use
-        return call(h3b, w1, b1, a1, w2, b2, a2, w3, b3)
+    def run(h3):
+        return call(h3, w1, b1, a1, w2, b2, a2, w3, b3)
 
     return run
 
 
-def build_fused_tail(tail_params: Any, ny: int, nx: int, brc: int = 12,
-                     interpret: bool = False):
+def build_fused_tail(tail_params: Any, ny: int, nx: int, brc: int = 8,
+                     interpret: bool = False, prep: str = "transpose"):
     """fn(h_tiles (ny*nx, T, T, 32)) -> (ny*CORE, nx*CORE, 48) bf16 [-1,1]
     phase-canonical crop-stitched canvas."""
     weights = prep_weights(tail_params)
     call = build_tail_call(weights, ny, nx, brc, interpret=interpret)
 
     def run(h_tiles):
-        canvas = call(make_h3b(h_tiles, brc))
+        canvas = call(make_h3(h_tiles, prep))
         return canvas[:, :, 3:123, :].reshape(ny * CORE, nx * CORE, 48)
 
     return run

@@ -52,6 +52,52 @@ def test_fused_tail_matches_plain(tail_setup, rng, ny, nx, brc):
     assert np.abs(got - want).mean() < 4e-3
 
 
+def test_kernel_engine_matches_plain_generator(tail_setup, rng):
+    """Full kernel engine (pad/extract + plain body + fused tail + u8 flat)
+    vs the plain FSRGANGenerator run per-tile and crop-stitched."""
+    import jax
+
+    from denoise_gan_tpu.infer.kernel_engine import build_fsrgan_kernel_engine
+    from denoise_gan_tpu.models import build_models
+
+    H, W = 150, 170                      # 2x2 tile grid, uneven crop
+    bundle = build_models("fsrgan", scale=4)
+    variables = bundle.generator.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, T, T, 3), jnp.float32), train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    frame01 = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    eng = build_fsrgan_kernel_engine(params, stats, H, W, brc=24,
+                                     interpret=True)
+    got = np.asarray(eng(frame01))
+    assert got.shape == (H * 4, W * 4 * 3)
+
+    # reference: plain generator on the same padded tiles, crop-stitched
+    from denoise_gan_tpu.infer.engine import extract_grid
+
+    ny, nx = -(-H // CORE), -(-W // CORE)
+    pad_h, pad_w = (ny - 1) * CORE + T, (nx - 1) * CORE + T
+    x = jnp.pad(frame01 * 2 - 1, ((2, pad_h - H - 2),
+                                  (2, pad_w - W - 2), (0, 0)), mode="edge")
+    tiles = extract_grid(x, ny, nx, T, CORE)
+    fine = bundle.generator.apply(
+        {"params": params, "batch_stats": stats}, tiles, train=False)
+    m0 = 8
+    core = fine[:, m0:m0 + CORE * 4, m0:m0 + CORE * 4, :]
+    core = core.reshape(ny, nx, CORE * 4, CORE * 4, 3)
+    canvas = core.transpose(0, 2, 1, 3, 4).reshape(ny * CORE * 4,
+                                                   nx * CORE * 4, 3)
+    want01 = np.clip((np.asarray(canvas[:H * 4, :W * 4]) + 1) / 2, 0, 1)
+    want = (want01 * 255.0 + 0.5).astype(np.uint8)
+    diff = np.abs(got.reshape(H * 4, W * 4, 3).astype(np.int32)
+                  - want.astype(np.int32))
+    # bf16 kernel vs f32 module: allow 1 u8 level almost everywhere
+    assert diff.max() <= 3
+    assert (diff > 1).mean() < 0.01
+
+
 def test_make_h3b_layout(rng):
     h = jnp.asarray(rng.standard_normal((1, T, T, 32)), jnp.float32)
     brc = 12

@@ -82,12 +82,9 @@ def kernel(h3_ref, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
         res = jnp.tanh(res + b3_ref[:])
         out_ref[:, 0] = res.astype(jnp.bfloat16).reshape(brc, 128, 48)
     else:
-        src = {0: h3_ref[0, 0, 0, 0:1, 0:1], 1: u1[0:1, 0:1],
-               2: u1r[0, 0:1, 0:1], 3: r_buf[0, 0:1, 0:1],
-               4: x3[0:1, 0:1]}[stage]
-        val = src.astype(jnp.float32).reshape(1, 1, 1)
-        out_ref[:, 0] = (jnp.zeros((brc, 128, 48), jnp.float32)
-                         + val).astype(jnp.bfloat16)
+        # constant output; the stage work persists through stateful scratch
+        # writes (verified: stage times differ, so nothing was DCE'd)
+        out_ref[:, 0] = jnp.zeros((brc, 128, 48), jnp.bfloat16)
 
 
 def build(weights, ny, nx, brc, stage):

@@ -59,17 +59,19 @@ def main():
     want = np.asarray(xla_path(hs[0]), np.float32)
 
     for brc in brcs:
-        try:
-            fused = jax.jit(build_fused_tail(params, ny, nx, brc=brc))
-            got = np.asarray(fused(hs[0]), np.float32)
-        except Exception as e:
-            print(f"brc={brc}: FAILED {type(e).__name__}: {str(e)[:300]}",
-                  flush=True)
-            continue
-        d = np.abs(got - want)
-        print(f"brc={brc}: maxdiff={d.max():.4f} meandiff={d.mean():.5f}",
-              flush=True)
-        timeit(fused, hs, label=f"pallas fused tail brc={brc}")
+        for prep in ("transpose", "conv"):
+            try:
+                fused = jax.jit(build_fused_tail(params, ny, nx, brc=brc,
+                                                 prep=prep))
+                got = np.asarray(fused(hs[0]), np.float32)
+            except Exception as e:
+                print(f"brc={brc}/{prep}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+                continue
+            d = np.abs(got - want)
+            print(f"brc={brc}/{prep}: maxdiff={d.max():.4f} "
+                  f"meandiff={d.mean():.5f}", flush=True)
+            timeit(fused, hs, label=f"pallas fused tail brc={brc}/{prep}")
 
     timeit(xla_path, hs, label="XLA tail+crop_stitch")
 
