@@ -22,29 +22,22 @@ import numpy as np
 
 
 def main() -> None:
-    from denoise_gan_tpu.infer.engine import build_frame_engine
-    from denoise_gan_tpu.infer.fast import build_fast_coarse
+    from denoise_gan_tpu.infer.kernel_engine import build_fsrgan_kernel_engine
     from denoise_gan_tpu.models import build_models
 
     H, W = 1080, 1920
-    TILE, OVERLAP = 144, 4  # measured optimum (PERF.md)
     FRAMES = 16
 
     bundle = build_models("fsrgan", scale=4, fp16=True)
-    x0 = jnp.zeros((1, TILE, TILE, 3), jnp.float32)
+    x0 = jnp.zeros((1, 124, 124, 3), jnp.float32)
     variables = bundle.generator.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         x0, train=False)
-    # coarse-space tail rewrite + phase-space stitching (infer/fast.py,
-    # infer/engine.py): exact, avoids all high-resolution intermediates
-    forward_coarse, scale = build_fast_coarse(
-        {"family": "fsrgan", "scale": 4}, variables["params"],
-        variables.get("batch_stats", {}), out_dtype=jnp.bfloat16)
-    denoise_frame = build_frame_engine(forward_coarse, H, W, scale,
-                                       TILE, OVERLAP, out_uint8=True,
-                                       flat_channels=True,
-                                       acc_dtype=jnp.bfloat16,
-                                       stitch="crop")
+    # fused Pallas tail kernel engine (infer/kernel_engine.py): XLA body on
+    # a <=128-tile grid + up1/up2/final-conv/tanh/crop-stitch/u8 in one
+    # VMEM-resident kernel; output is flat (H*4, W*4*3) uint8 (== HWC bytes)
+    denoise_frame = build_fsrgan_kernel_engine(
+        variables["params"], variables.get("batch_stats", {}), H, W)
 
     rng = np.random.default_rng(0)
     frames = [jnp.asarray(rng.random((H, W, 3)), jnp.float32)

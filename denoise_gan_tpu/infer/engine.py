@@ -100,31 +100,34 @@ def crop_stitch(tiles: jax.Array, ny: int, nx: int, tile: int, stride: int
     return core.transpose(0, 2, 1, 3, 4).reshape(ny * stride, nx * stride, c)
 
 
-def extract_grid(frame: jax.Array, ny: int, nx: int, tile: int, stride: int
+def extract_grid(frame: jax.Array, ny: int, nx: int, tile, stride
                  ) -> jax.Array:
-    """(Hp, Wp, C) padded frame -> (ny*nx, t, t, C) regular-grid tiles.
+    """(Hp, Wp, C) padded frame -> (ny*nx, ty, tx, C) regular-grid tiles.
 
     Structured inverse of :func:`overlap_add`: since overlap = tile - stride
     < stride, each tile is its stride-grid cell plus the first `ov` rows/cols
     of the next cell — two shifted reshapes per axis instead of ny*nx
-    dynamic slices."""
-    t = tile
-    ov = t - stride
+    dynamic slices.  `tile`/`stride` may be (row, col) tuples for
+    rectangular tiles (the fused-tail kernel engine uses tall tiles to keep
+    the body batch <= 128, PERF.md r2)."""
+    ty, tx = (tile, tile) if isinstance(tile, int) else tile
+    sy, sx = (stride, stride) if isinstance(stride, int) else stride
+    ovy, ovx = ty - sy, tx - sx
     hp, wp, c = frame.shape
 
-    # rows: (Hp, Wp, C) -> (ny, t, Wp, C)
-    head = frame[:ny * stride].reshape(ny, stride, wp, c)
-    shifted = jnp.pad(frame[stride:], ((0, stride), (0, 0), (0, 0)))
-    tail = shifted[:ny * stride].reshape(ny, stride, wp, c)[:, :ov]
-    rows = jnp.concatenate([head, tail], axis=1)        # (ny, t, Wp, C)
+    # rows: (Hp, Wp, C) -> (ny, ty, Wp, C)
+    head = frame[:ny * sy].reshape(ny, sy, wp, c)
+    shifted = jnp.pad(frame[sy:], ((0, sy), (0, 0), (0, 0)))
+    tail = shifted[:ny * sy].reshape(ny, sy, wp, c)[:, :ovy]
+    rows = jnp.concatenate([head, tail], axis=1)        # (ny, ty, Wp, C)
 
-    # cols: (ny, t, Wp, C) -> (ny, t, nx, t, C)
-    head = rows[:, :, :nx * stride].reshape(ny, t, nx, stride, c)
-    shifted = jnp.pad(rows[:, :, stride:], ((0, 0), (0, 0), (0, stride),
-                                            (0, 0)))
-    tail = shifted[:, :, :nx * stride].reshape(ny, t, nx, stride, c)[..., :ov, :]
-    tiles = jnp.concatenate([head, tail], axis=3)       # (ny, t, nx, t, C)
-    return tiles.transpose(0, 2, 1, 3, 4).reshape(ny * nx, t, t, c)
+    # cols: (ny, ty, Wp, C) -> (ny, ty, nx, tx, C)
+    head = rows[:, :, :nx * sx].reshape(ny, ty, nx, sx, c)
+    shifted = jnp.pad(rows[:, :, sx:], ((0, 0), (0, 0), (0, sx),
+                                        (0, 0)))
+    tail = shifted[:, :, :nx * sx].reshape(ny, ty, nx, sx, c)[..., :ovx, :]
+    tiles = jnp.concatenate([head, tail], axis=3)       # (ny, ty, nx, tx, C)
+    return tiles.transpose(0, 2, 1, 3, 4).reshape(ny * nx, ty, tx, c)
 
 
 def build_frame_engine(forward_coarse, height: int, width: int, scale: int,

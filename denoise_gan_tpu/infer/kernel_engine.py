@@ -1,12 +1,17 @@
 """Frame engine built around the fused Pallas tail kernel (ops/pallas/tail).
 
-Geometry is fixed by the kernel: tile T=124 (so T + conv halo = exactly 128
-lanes), stride 120, crop-stitch margins 2.  1080p tiles exactly: 9 x 16.
+Geometry: tile width fixed at 124 (kernel lane geometry: 124 + conv halo =
+exactly 128 lanes), col stride 120; tile HEIGHT is free (the kernel's band
+loop), so it is chosen to keep the tile count <= 128 — XLA's conv throughput
+cliffs ~1.6x above a batch of 128 (PERF.md r2).  1080p: 8x16 tiles of
+139x124 (core 135x120).
+
 Pipeline per frame (one jitted program):
 
-  pad(edge, +2 pre-roll) -> extract_grid -> FSRGAN body (XLA, bf16)
-  -> fused tail kernel (up1+up2+final conv+tanh+crop-stitch, VMEM-resident)
-  -> uint8 flat (H*4, W*4*3) output (byte-identical to HWC)
+  pad(edge, +2 pre-roll) -> extract_grid (rect) -> FSRGAN body (XLA, bf16)
+  -> fused tail kernel (up1+up2+final conv+tanh+crop-stitch+u8, VMEM)
+  -> (H*4, W*4*3) uint8 flat output (byte-identical to HWC), via a FREE
+     reshape of the kernel's (ny*CR, 4, nx, 120, 12) u8 canvas.
 """
 
 from __future__ import annotations
@@ -15,44 +20,58 @@ import jax
 import jax.numpy as jnp
 
 from denoise_gan_tpu.infer.engine import extract_grid
-from denoise_gan_tpu.ops.pallas.tail import CORE, T, build_fused_tail
+from denoise_gan_tpu.ops.pallas.tail import CORE, T, build_fused_tail, \
+    build_fused_tail_u8
+
+
+def plan_grid(height: int, width: int, brc: int = 15,
+              max_tiles: int = 128) -> tuple[int, int, int]:
+    """Pick (ny, nx, core_rows): col stride fixed at CORE=120; rows chosen
+    so ny*nx <= max_tiles when possible and core_rows % brc == 0."""
+    nx = -(-width // CORE)
+    ny = max(1, max_tiles // nx)
+    while True:
+        core_rows = brc * (-(-height // (ny * brc)))
+        if ny <= 1 or (ny - 1) * core_rows < height:
+            return ny, nx, core_rows
+        ny -= 1     # fewer rows still cover the frame; keep tiles minimal
 
 
 def build_kernel_engine(body_apply, tail_params, height: int, width: int,
-                        brc: int = 8, prep: str = "transpose",
+                        brc: int = 15, prep: str = "transpose",
                         out_uint8: bool = True, flat_channels: bool = True,
                         interpret: bool = False):
-    """body_apply: (N, T, T, 3) [-1,1] -> (N, T, T, 32) bf16 body features.
-    Returns fn(frame01 (H, W, 3)) -> (H*4, W*4*3) uint8 (flat layout) or
-    (H*4s.., W.., 48->via caller) when flat disabled."""
-    stride = CORE
-    m0 = (T - stride) // 2          # crop-stitch pre-pad
-    ny = -(-height // stride)
-    nx = -(-width // stride)
-    pad_h = (ny - 1) * stride + T
-    pad_w = (nx - 1) * stride + T
+    """body_apply: (N, TR, T, 3) [-1,1] -> (N, TR, T, 32) bf16 body features.
+    Returns fn(frame01 (H, W, 3)) -> (H*4, W*4*3) uint8 flat layout
+    (out_uint8) or (H*4, W*4, 3) f32 in [0,1]."""
+    ny, nx, cr = plan_grid(height, width, brc)
+    m0 = 2                          # crop-stitch margins
+    tr = cr + 4
+    pad_h = (ny - 1) * cr + tr
+    pad_w = (nx - 1) * CORE + T
     scale = 4
+    u8_path = out_uint8 and flat_channels
 
-    fused_tail = build_fused_tail(tail_params, ny, nx, brc=brc, prep=prep,
-                                  interpret=interpret)
+    if u8_path:
+        fused = build_fused_tail_u8(tail_params, ny, nx, brc=brc,
+                                    core_rows=cr, prep=prep,
+                                    interpret=interpret)
+    else:
+        fused = build_fused_tail(tail_params, ny, nx, brc=brc, core_rows=cr,
+                                 prep=prep, interpret=interpret)
 
     @jax.jit
     def run(frame01):
         x = frame01 * 2.0 - 1.0
         x = jnp.pad(x, ((m0, pad_h - height - m0),
                         (m0, pad_w - width - m0), (0, 0)), mode="edge")
-        tiles = extract_grid(x, ny, nx, T, stride)
+        tiles = extract_grid(x, ny, nx, (tr, T), (cr, CORE))
         h = body_apply(tiles)
-        canvas = fused_tail(h)                    # (ny*120, nx*120, 48)
+        if u8_path:
+            flat = fused(h)                       # (ny*cr*4, nx*120*12) u8
+            return flat[:height * scale, :width * scale * 3]
+        canvas = fused(h)                         # (ny*cr, nx*120, 48)
         out01 = jnp.clip((canvas.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
-        if out_uint8:
-            out01 = (out01 * 255.0 + 0.5).astype(jnp.uint8)
-            if flat_channels:
-                hc, wc = out01.shape[:2]
-                cs = 3 * scale
-                flat = out01.reshape(hc, wc, scale, cs)
-                flat = flat.transpose(0, 2, 1, 3).reshape(hc * scale, wc * cs)
-                return flat[:height * scale, :width * scale * 3]
         from denoise_gan_tpu.ops.image import depth_to_space
         fine = depth_to_space(out01[None], scale)[0]
         return fine[:height * scale, :width * scale]
@@ -61,7 +80,7 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
 
 
 def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
-                               brc: int = 8, prep: str = "transpose",
+                               brc: int = 15, prep: str = "transpose",
                                interpret: bool = False, **kw):
     """Convenience: wire the FSRGAN body (XLA, bf16) to the fused tail."""
     from denoise_gan_tpu.models.fsrgan import FSRGANBody

@@ -90,19 +90,33 @@ def process_video(args) -> dict:
         from denoise_gan_tpu.infer.fast import build_fast_coarse
         from denoise_gan_tpu.io.checkpoint import load_generator
         _, params, batch_stats = load_generator(get_path(args.model))
-        try:
-            fwd_coarse, scale = build_fast_coarse(config, params, batch_stats)
-            # uint8 + flat channel layout: byte-identical to HWC, ~23ms/frame
-            # cheaper (PERF.md); reshaped to HWC on host for free.  On-device
-            # scoring needs the HWC float frame, so --score keeps that layout.
-            flat = not args.score
-            engine = build_frame_engine(fwd_coarse, fh, fw, scale,
-                                        args.tile, args.tile_overlap,
-                                        out_uint8=flat, flat_channels=flat,
-                                        stitch=args.stitch)
-            engine_flat = flat
-        except ValueError:
-            engine = None
+        # uint8 + flat channel layout: byte-identical to HWC, ~23ms/frame
+        # cheaper (PERF.md); reshaped to HWC on host for free.  On-device
+        # scoring needs the HWC float frame, so --score keeps that layout.
+        flat = not args.score
+        # fastest path: the fused Pallas tail kernel engine (body on a
+        # <=128-tile grid + tail/stitch/u8 in one VMEM kernel) — fsrgan 4x
+        # only; ~1.2x the XLA crop engine (PERF.md r2)
+        use_kernel = (args.kernel_tail != 0 if args.kernel_tail >= 0
+                      else jax.default_backend() != "cpu")
+        if (use_kernel and flat and args.tile > 0
+                and config.get("family") == "fsrgan" and scale == 4):
+            from denoise_gan_tpu.infer.kernel_engine import \
+                build_fsrgan_kernel_engine
+            engine = build_fsrgan_kernel_engine(params, batch_stats, fh, fw)
+            engine_flat = True
+        else:
+            try:
+                fwd_coarse, scale = build_fast_coarse(config, params,
+                                                      batch_stats)
+                engine = build_frame_engine(fwd_coarse, fh, fw, scale,
+                                            args.tile, args.tile_overlap,
+                                            out_uint8=flat,
+                                            flat_channels=flat,
+                                            stitch=args.stitch)
+                engine_flat = flat
+            except ValueError:
+                engine = None
 
     cap = cv2.VideoCapture(input_path)
     if args.frame_start:
@@ -244,6 +258,9 @@ def build_parser() -> ArgumentParser:
                         help="optional ground-truth video for scoring")
     parser.add_argument("--fast", default=1, type=int,
                         help="coarse-space bf16 inference rewrite (infer/fast.py)")
+    parser.add_argument("--kernel_tail", default=-1, type=int,
+                        help="fused Pallas tail kernel engine (fsrgan 4x): "
+                             "1=force, 0=off, -1=auto (on except CPU)")
     parser.add_argument("--verbose", default=0, type=int)
     return parser
 

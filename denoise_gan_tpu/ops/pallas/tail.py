@@ -4,7 +4,7 @@ one kernel, all intermediates VMEM-resident.
 Replaces the XLA coarse tail + crop_stitch (infer/fast.py build_coarse_tail +
 infer/engine.py crop_stitch) for fsrgan inference.  Numerically equivalent to
 the plain FSRGANTail (models/fsrgan.py, /root/reference/fsrgan.py:178-218)
-on every CORE pixel (the crop-stitch geometry consumes exactly the conv
+on every core pixel (the crop-stitch geometry consumes exactly the conv
 halos, so no tile-edge SAME-pad case reaches the output — see tests).
 
 Why a kernel: the XLA tail pays (a) 16x structural zeros in the m=4
@@ -12,21 +12,34 @@ scattered final conv (PERF.md), (b) an output-lane pad 48->128, and (c) HBM
 round trips between stages.  Design notes (all slices tile-aligned):
 
 * Activations live TRANSPOSED: (channels on sublanes, space on lanes), with
-  space chunked as row-blocks of 128 lanes (tile width T=124, conv halo 2
+  space chunked as row-blocks of 128 lanes (tile width 124, conv halo 2
   -> exactly 128 stored columns per row).  Channel-block selection is then
   a sublane slice (32-mult), row shifts are 128-mult lane slices, and the
   only misaligned ops are +-1 lane shifts done with pltpu.roll on f32.
-* up1 is one K=288 matmul per band from 9 aligned slices of three
-  dc-shifted h copies prepared in XLA (h3b) — no in-kernel transposes.
+* Tiles are RECTANGULAR: width fixed at 124 (the lane geometry), height
+  `core_rows + 4` free — rows are just the kernel's internal band loop, so
+  the tile grid can be shaped to keep the BODY batch <= 128 (XLA conv
+  throughput cliffs above 128 tiles, PERF.md r2: 1080p runs 8x16 tiles of
+  139x124 instead of 9x16 of 124x124).
+* up1 is one K=288 matmul per band from 9 aligned slices of h and two
+  in-kernel lane-rolled copies — no in-kernel transposes.
 * up2 runs as 4 matmuls (row-phase a x channel-sub-phase a2), each K=384
   (3 row taps x the 4-column union window x 32ch), N=128, producing the
   four fine-row-phase buffers R_e directly (e = 2a + a2).
 * the final 3x3 fine-space conv is ONE K=1152 matmul (6 fine rows x 6 fine
   cols x 32ch packed, zero structural waste in K) with N=48 output
   (eo,fo,c), emitted as (M, 48) so the 48 pads harmlessly on lanes.
-* output is written directly into the crop-stitched canvas
-  (ny*120, nx, 128, 48) bf16 — real columns at lane [3:123] of each
-  128-chunk; the epilogue slice fuses into the downstream u8/flat pass.
+* h3 tile DMAs are DOUBLE-BUFFERED across grid steps (tile n+1 loads while
+  tile n computes).
+* two epilogues:
+  - 'canvas': bf16 crop-stitched canvas (ny*CR, nx, 128, 48), real columns
+    at lane [3:123) of each chunk (the engine slices + converts in XLA);
+  - 'u8':    the full affine+round+uint8+flat-layout fused in-kernel: one
+    f32 sublane roll drops the 3-column stitch margin, four tiny (48->12)
+    selection matmuls split the fine-row phase eo off the lane dim, and the
+    output (ny*CR, 4, nx, 120, 12) uint8 reshapes for FREE to the
+    (H*4, W*12) flat byte layout (== row-major HWC).  This removes the
+    ~13 ms/frame XLA canvas->u8 relayout (PERF.md r2).
 """
 
 from __future__ import annotations
@@ -40,8 +53,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T = 124          # coarse tile size; T + conv halo 4 == 128 lanes exactly
-CORE = 120       # output rows/cols per tile (stride; overlap 4, margins 2)
+T = 124          # coarse tile width; T + conv halo 4 == 128 lanes exactly
+CORE = 120       # output cols per tile (stride; overlap 4, margins 2)
 CIN = 32
 
 
@@ -106,6 +119,12 @@ def prep_weights(tail_params: Any) -> dict[str, np.ndarray]:
                     n0 = (eo * 4 + fo) * 3
                     W3p[k0:k0 + CIN, n0:n0 + 3] = Wf[du + 1, dv + 1]
 
+    # u8 epilogue: eo-selection matrices (48 -> 12), exact 0/1 in bf16
+    Seo = np.zeros((4, 48, 12), np.float32)
+    for eo in range(4):
+        for j in range(12):
+            Seo[eo, eo * 12 + j, j] = 1.0
+
     return dict(
         W1m=W1m.astype(np.float32),
         b1=b1.reshape(128, 1),
@@ -115,36 +134,16 @@ def prep_weights(tail_params: Any) -> dict[str, np.ndarray]:
         alpha2=alpha2.reshape(128, 1),
         W3p=W3p,
         b3=np.tile(bf, 16).reshape(1, 48),   # per (eo,fo,c) col: bf[c]
+        Seo=Seo,
     )
 
 
 # ---------------------------------------------------------------------------
 # XLA-side input prep
 
-def make_h3b(h_tiles: jax.Array, brc: int) -> jax.Array:
-    """(N, T, T, 32) body output -> (N, bands, 3, 32, (brc+6)*128) bf16:
-    zero-padded (conv SAME), dc-shifted x3, chunk-flattened per band.
-    (v1 banded layout — kept for the per-band-grid kernel; duplicates the
-    band halos, ~16 ms of XLA gather/transpose at 1080p.  The per-tile
-    kernel uses make_h3 instead.)"""
-    n = h_tiles.shape[0]
-    bands = CORE // brc
-    rows = brc + 6
-    hp = jnp.pad(h_tiles.astype(jnp.bfloat16),
-                 ((0, 0), (3, 3), (3, 3), (0, 0)))         # (N,130,130,32)
-    ht = hp.transpose(0, 1, 3, 2)                          # (N,130,32,130)
-    h3 = jnp.stack([ht[..., dc:dc + 128] for dc in range(3)],
-                   axis=1)                                 # (N,3,130,32,128)
-    idx = ((jnp.arange(bands) * brc)[:, None]
-           + jnp.arange(rows)[None] + 2)                   # h_pad row of chunk
-    hb = h3[:, :, idx]                                     # (N,3,bands,rows,32,128)
-    hb = hb.transpose(0, 2, 1, 4, 3, 5)                    # (N,bands,3,32,rows,128)
-    return hb.reshape(n, bands, 3, CIN, rows * 128)
-
-
 def make_h3(h_tiles: jax.Array, prep: str = "transpose") -> jax.Array:
-    """(N, T, T, 32) body output -> (N, 32, 130*128) bf16 chunk-flat, ONE
-    copy: channel-major, rows as 128-lane chunks holding cols [-1, 127)
+    """(N, TR, 124, 32) body output -> (N, 32, (TR+6)*128) bf16 chunk-flat,
+    ONE copy: channel-major, rows as 128-lane chunks holding cols [-1, 127)
     (124 output cols only ever read cols [-1,126), so one 128-chunk covers
     every tap; the dc-shifts become two in-kernel lane rolls).
 
@@ -153,19 +152,19 @@ def make_h3(h_tiles: jax.Array, prep: str = "transpose") -> jax.Array:
     * 'transpose' — jnp.transpose (XLA relayout)
     * 'conv'      — 1x1 identity conv with NCHW output layout (the conv
       emitter performs the relayout; measured faster, PERF.md r2)
-    The final (130,128)->(16640,) flatten is layout-free because the minor
+    The final (TR+6,128)->flat flatten is layout-free because the minor
     dim is exactly one lane-tile wide."""
-    n = h_tiles.shape[0]
+    n, tr = h_tiles.shape[0], h_tiles.shape[1]
     hb = h_tiles.astype(jnp.bfloat16)
-    hp = jnp.pad(hb, ((0, 0), (3, 3), (1, 3), (0, 0)))     # (N,130,128,32)
+    hp = jnp.pad(hb, ((0, 0), (3, 3), (1, 3), (0, 0)))     # (N,TR+6,128,32)
     if prep == "conv":
         eye = jnp.eye(CIN, dtype=jnp.bfloat16).reshape(1, 1, CIN, CIN)
         ht = jax.lax.conv_general_dilated(
             hp, eye, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NCHW"))    # (N,32,130,128)
+            dimension_numbers=("NHWC", "HWIO", "NCHW"))    # (N,32,TR+6,128)
     else:
-        ht = hp.transpose(0, 3, 1, 2)                      # (N,32,130,128)
-    return ht.reshape(n, CIN, (T + 6) * 128)
+        ht = hp.transpose(0, 3, 1, 2)                      # (N,32,TR+6,128)
+    return ht.reshape(n, CIN, (tr + 6) * 128)
 
 
 # ---------------------------------------------------------------------------
@@ -179,10 +178,12 @@ def _dot_kn(w, x):
 
 
 def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
-                 w3_ref, b3_ref, out_ref,
-                 h3, hroll, x1, u1, u1r, x2, r_buf, x3, sem, brc: int):
-    """One grid step = one tile; internal fori_loop over row bands (keeps
-    VMEM bounded without duplicating band halos in HBM).
+                 w3_ref, b3_ref, seo_ref, out_ref,
+                 h3x2, hroll, x1, u1, u1r, x2, r_buf, x3, sems,
+                 brc: int, core_rows: int, n_tiles: int, u8_out: bool):
+    """Grid = (tiles, row bands); the out block is per BAND (a whole-tile u8
+    block would pay the 12->128 lane pad x2 in VMEM: 16.6MB at 1080p).  The
+    h3 tile DMA runs at band 0 and is double-buffered across tiles.
 
     Lane conventions (within each 128-lane row chunk):
       h: lane = col + 1 (cols [-1, 127));  U1: lane = col (cols [0, 124));
@@ -190,20 +191,35 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
     m1 = (brc + 4) * 128
     m2 = (brc + 2) * 128
     m3 = brc * 128
-    bands = CORE // brc
-    lh = (T + 6) * 128
+    lh = (core_rows + 4 + 6) * 128
 
     n = pl.program_id(0)
-    cp = pltpu.make_async_copy(h3_hbm.at[n], h3, sem)
-    cp.start()
-    cp.wait()
-    # dc column taps as whole-tile lane shifts: X1[l=col] = h[col+dc-1]
-    # = h_lane(l + dc); roll(x, L-s): out[l] = in[l+s]
-    hf = h3[:].astype(jnp.float32)
-    hroll[0] = pltpu.roll(hf, lh - 1, 1).astype(jnp.bfloat16)
-    hroll[1] = pltpu.roll(hf, lh - 2, 1).astype(jnp.bfloat16)
+    b = pl.program_id(1)
+    slot = jax.lax.rem(n, 2)
 
-    def band(b, carry):
+    @pl.when(jnp.logical_and(n == 0, b == 0))
+    def _first():
+        pltpu.make_async_copy(h3_hbm.at[0], h3x2.at[0], sems.at[0]).start()
+
+    @pl.when(b == 0)
+    def _load():
+        pltpu.make_async_copy(h3_hbm.at[n], h3x2.at[slot],
+                              sems.at[slot]).wait()
+
+        @pl.when(n + 1 < n_tiles)
+        def _prefetch():
+            pltpu.make_async_copy(h3_hbm.at[n + 1], h3x2.at[1 - slot],
+                                  sems.at[1 - slot]).start()
+
+        h3v = h3x2.at[slot]
+        # dc column taps as whole-tile lane shifts: X1[l=col] = h[col+dc-1]
+        # = h_lane(l + dc); roll(x, L-s): out[l] = in[l+s]
+        hf = h3v[:].astype(jnp.float32)
+        hroll[0] = pltpu.roll(hf, lh - 1, 1).astype(jnp.bfloat16)
+        hroll[1] = pltpu.roll(hf, lh - 2, 1).astype(jnp.bfloat16)
+
+    h3 = h3x2.at[slot]
+    if True:
         base = b * brc + 2     # h_pad row chunk of U1 row 0 (dr=0)
 
         # ---- up1: X1 (288, M1) <- 9 aligned slices of h / rolled h
@@ -261,19 +277,34 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
             x3[:], w3_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (M3, 48)
         res = jnp.tanh(res + b3_ref[:])
-        out_ref[pl.ds(b * brc, brc), 0] = \
-            res.astype(jnp.bfloat16).reshape(brc, 128, 48)
-        return carry
-
-    jax.lax.fori_loop(0, bands, band, 0)
+        if not u8_out:
+            out_ref[:, 0] = res.astype(jnp.bfloat16).reshape(brc, 128, 48)
+        else:
+            # fused u8/flat epilogue: sublane roll drops the 3-col margin
+            # (row k <- k+3, i.e. kept lane j maps to col j+3-1 = j+2 = the
+            # crop-stitch core), then 4 selection matmuls split eo off the
+            # lane dim; affine+trunc matches the XLA (x*255+0.5).astype(u8)
+            rr = pltpu.roll(res, m3 - 3, 0).astype(jnp.bfloat16)
+            for eo in range(4):
+                vv = jax.lax.dot_general(
+                    rr, seo_ref[eo], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (M3, 12)
+                u = jnp.clip((vv + 1.0) * 127.5 + 0.5, 0.0, 255.0)
+                u8v = u.astype(jnp.int32).astype(jnp.uint8)
+                out_ref[:, eo, 0] = u8v.reshape(brc, 128, 12)[:, :CORE, :]
 
 
 def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
-                    brc: int = 8, interpret: bool = False):
-    """Returns fn(h3 (N, 32, (T+6)*128) bf16) ->
-    canvas (ny*CORE, nx, 128, 48) bf16 (real cols at [3:123])."""
-    assert CORE % brc == 0
+                    brc: int = 8, core_rows: int = CORE,
+                    u8_out: bool = False, interpret: bool = False):
+    """Returns fn(h3 (N, 32, (core_rows+10)*128) bf16) ->
+    * u8_out=False: canvas (ny*core_rows, nx, 128, 48) bf16 (real cols at
+      lane [3:123) of each chunk)
+    * u8_out=True:  (ny*core_rows, 4, nx, 120, 12) uint8 — reshapes for free
+      to the flat (ny*core_rows*4, nx*120*12) byte layout."""
+    assert core_rows % brc == 0
     n_tiles = ny * nx
+    tr = core_rows + 4
     m1, m2, m3 = (brc + 4) * 128, (brc + 2) * 128, brc * 128
 
     w1 = jnp.asarray(weights["W1m"], jnp.bfloat16)
@@ -284,8 +315,10 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
     a2 = jnp.asarray(weights["alpha2"], jnp.float32)
     w3 = jnp.asarray(weights["W3p"], jnp.bfloat16)
     b3 = jnp.asarray(weights["b3"], jnp.float32)
+    seo = jnp.asarray(weights["Seo"], jnp.bfloat16)
 
-    kernel = functools.partial(_tail_kernel, brc=brc)
+    kernel = functools.partial(_tail_kernel, brc=brc, core_rows=core_rows,
+                               n_tiles=n_tiles, u8_out=u8_out)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),    # h3 stays in HBM; manual DMA
@@ -297,29 +330,42 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # alpha2
         pl.BlockSpec(memory_space=pltpu.VMEM),   # W3p
         pl.BlockSpec(memory_space=pltpu.VMEM),   # b3
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # Seo
     ]
-    out_spec = pl.BlockSpec(
-        (CORE, 1, 128, 48),
-        lambda n, nx=nx: (n // nx, n % nx, 0, 0),
-        memory_space=pltpu.VMEM)
+    bands = core_rows // brc
+    if u8_out:
+        out_spec = pl.BlockSpec(
+            (brc, 4, 1, CORE, 12),
+            lambda n, b, nx=nx, bands=bands: ((n // nx) * bands + b, 0,
+                                              n % nx, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((ny * core_rows, 4, nx, CORE, 12),
+                                         jnp.uint8)
+    else:
+        out_spec = pl.BlockSpec(
+            (brc, 1, 128, 48),
+            lambda n, b, nx=nx, bands=bands: ((n // nx) * bands + b,
+                                              n % nx, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((ny * core_rows, nx, 128, 48),
+                                         jnp.bfloat16)
 
     call = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, bands),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((ny * CORE, nx, 128, 48),
-                                       jnp.bfloat16),
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((CIN, (T + 6) * 128), jnp.bfloat16),     # h3 tile
-            pltpu.VMEM((2, CIN, (T + 6) * 128), jnp.bfloat16),  # h rolled
+            pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h3 x2
+            pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h rolled
             pltpu.VMEM((9 * CIN, m1), jnp.bfloat16),       # X1
             pltpu.VMEM((128, m1), jnp.float32),            # U1
             pltpu.VMEM((2, 128, m1), jnp.bfloat16),        # U1 rolled
             pltpu.VMEM((12 * CIN, m2), jnp.bfloat16),      # X2
             pltpu.VMEM((4, 128, m2), jnp.bfloat16),        # R_e
             pltpu.VMEM((36 * CIN, m3), jnp.bfloat16),      # X3
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024),
@@ -327,20 +373,40 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
     )
 
     def run(h3):
-        return call(h3, w1, b1, a1, w2, b2, a2, w3, b3)
+        return call(h3, w1, b1, a1, w2, b2, a2, w3, b3, seo)
 
     return run
 
 
 def build_fused_tail(tail_params: Any, ny: int, nx: int, brc: int = 8,
-                     interpret: bool = False, prep: str = "transpose"):
-    """fn(h_tiles (ny*nx, T, T, 32)) -> (ny*CORE, nx*CORE, 48) bf16 [-1,1]
-    phase-canonical crop-stitched canvas."""
+                     core_rows: int = CORE, interpret: bool = False,
+                     prep: str = "transpose"):
+    """fn(h_tiles (ny*nx, core_rows+4, T, 32)) ->
+    (ny*core_rows, nx*CORE, 48) bf16 [-1,1] phase-canonical crop-stitched
+    canvas."""
     weights = prep_weights(tail_params)
-    call = build_tail_call(weights, ny, nx, brc, interpret=interpret)
+    call = build_tail_call(weights, ny, nx, brc, core_rows,
+                           interpret=interpret)
 
     def run(h_tiles):
         canvas = call(make_h3(h_tiles, prep))
-        return canvas[:, :, 3:123, :].reshape(ny * CORE, nx * CORE, 48)
+        return canvas[:, :, 3:123, :].reshape(ny * core_rows, nx * CORE, 48)
+
+    return run
+
+
+def build_fused_tail_u8(tail_params: Any, ny: int, nx: int, brc: int = 8,
+                        core_rows: int = CORE, interpret: bool = False,
+                        prep: str = "transpose"):
+    """fn(h_tiles (ny*nx, core_rows+4, T, 32)) ->
+    (ny*core_rows*4, nx*CORE*12) uint8 — the flat byte layout of the
+    (ny*core_rows*4, nx*CORE*4, 3) HWC fine image."""
+    weights = prep_weights(tail_params)
+    call = build_tail_call(weights, ny, nx, brc, core_rows, u8_out=True,
+                           interpret=interpret)
+
+    def run(h_tiles):
+        out = call(make_h3(h_tiles, prep))
+        return out.reshape(ny * core_rows * 4, nx * CORE * 12)
 
     return run

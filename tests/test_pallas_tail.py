@@ -12,7 +12,7 @@ import pytest
 from denoise_gan_tpu.models.fsrgan import FSRGANTail
 from denoise_gan_tpu.ops.image import depth_to_space
 from denoise_gan_tpu.ops.pallas.tail import (
-    CORE, T, build_fused_tail, make_h3b, prep_weights,
+    CORE, T, build_fused_tail, build_fused_tail_u8,
 )
 
 
@@ -74,20 +74,23 @@ def test_kernel_engine_matches_plain_generator(tail_setup, rng):
     got = np.asarray(eng(frame01))
     assert got.shape == (H * 4, W * 4 * 3)
 
-    # reference: plain generator on the same padded tiles, crop-stitched
+    # reference: plain generator on the engine's own (rectangular) tiles,
+    # crop-stitched
     from denoise_gan_tpu.infer.engine import extract_grid
+    from denoise_gan_tpu.infer.kernel_engine import plan_grid
 
-    ny, nx = -(-H // CORE), -(-W // CORE)
-    pad_h, pad_w = (ny - 1) * CORE + T, (nx - 1) * CORE + T
+    ny, nx, cr = plan_grid(H, W, brc=24)
+    tr = cr + 4
+    pad_h, pad_w = (ny - 1) * cr + tr, (nx - 1) * CORE + T
     x = jnp.pad(frame01 * 2 - 1, ((2, pad_h - H - 2),
                                   (2, pad_w - W - 2), (0, 0)), mode="edge")
-    tiles = extract_grid(x, ny, nx, T, CORE)
+    tiles = extract_grid(x, ny, nx, (tr, T), (cr, CORE))
     fine = bundle.generator.apply(
         {"params": params, "batch_stats": stats}, tiles, train=False)
     m0 = 8
-    core = fine[:, m0:m0 + CORE * 4, m0:m0 + CORE * 4, :]
-    core = core.reshape(ny, nx, CORE * 4, CORE * 4, 3)
-    canvas = core.transpose(0, 2, 1, 3, 4).reshape(ny * CORE * 4,
+    core = fine[:, m0:m0 + cr * 4, m0:m0 + CORE * 4, :]
+    core = core.reshape(ny, nx, cr * 4, CORE * 4, 3)
+    canvas = core.transpose(0, 2, 1, 3, 4).reshape(ny * cr * 4,
                                                    nx * CORE * 4, 3)
     want01 = np.clip((np.asarray(canvas[:H * 4, :W * 4]) + 1) / 2, 0, 1)
     want = (want01 * 255.0 + 0.5).astype(np.uint8)
@@ -98,16 +101,31 @@ def test_kernel_engine_matches_plain_generator(tail_setup, rng):
     assert (diff > 1).mean() < 0.01
 
 
-def test_make_h3b_layout(rng):
-    h = jnp.asarray(rng.standard_normal((1, T, T, 32)), jnp.float32)
-    brc = 12
-    h3b = make_h3b(h, brc)
-    assert h3b.shape == (1, CORE // brc, 3, 32, (brc + 6) * 128)
-    # band b, dc, channel t, chunk u, lane c  ==  h_pad[b*brc+2+u, c+dc, t]
-    hp = np.asarray(jnp.pad(h.astype(jnp.bfloat16),
-                            ((0, 0), (3, 3), (3, 3), (0, 0))))
-    got = np.asarray(h3b)
-    for b, dc, u, c in [(0, 0, 0, 0), (1, 2, 5, 100), (9, 1, 17, 42)]:
-        np.testing.assert_array_equal(
-            got[0, b, dc, :, u * 128 + c],
-            hp[0, b * brc + 2 + u, c + dc, :])
+@pytest.mark.parametrize("ny,nx,brc,cr", [(1, 2, 12, 24), (2, 1, 8, 16)])
+def test_fused_tail_u8_matches_canvas(tail_setup, rng, ny, nx, brc, cr):
+    """u8 epilogue (in-kernel roll + eo-selection + affine + uint8) must be
+    byte-identical to the canvas mode followed by the XLA u8/flat pass, on
+    RECTANGULAR tiles (core_rows != 120)."""
+    tail, params = tail_setup
+    tr = cr + 4
+    h = jnp.asarray(rng.standard_normal((ny * nx, tr, T, 32)) * 0.5,
+                    jnp.bfloat16)
+
+    fused = build_fused_tail(params, ny, nx, brc=brc, core_rows=cr,
+                             interpret=True)
+    canvas = fused(h)                                   # (ny*cr, nx*120, 48)
+    out01 = jnp.clip((canvas.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+    u8 = (out01 * 255.0 + 0.5).astype(jnp.uint8)
+    hc, wc = u8.shape[:2]
+    want = np.asarray(u8.reshape(hc, wc, 4, 12).transpose(0, 2, 1, 3)
+                      .reshape(hc * 4, wc * 12))
+
+    fused_u8 = build_fused_tail_u8(params, ny, nx, brc=brc, core_rows=cr,
+                                   interpret=True)
+    got = np.asarray(fused_u8(h))
+    assert got.shape == want.shape
+    # identical math up to the f32-roll-then-bf16 ordering: allow 1 level on
+    # a vanishing fraction
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3

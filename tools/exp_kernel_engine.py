@@ -32,7 +32,7 @@ def main():
     from denoise_gan_tpu.infer.kernel_engine import build_fsrgan_kernel_engine
     from denoise_gan_tpu.models import build_models
 
-    brc = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    brc = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     H, W = 1080, 1920
     bundle = build_models("fsrgan", scale=4, fp16=True)
     variables = bundle.generator.init(
