@@ -180,7 +180,8 @@ def _dot_kn(w, x):
 def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                  w3_ref, b3_ref, seo_ref, out_ref,
                  h3x2, hroll, x1, u1, u1r, x2, r_buf, x3, sems,
-                 brc: int, core_rows: int, n_tiles: int, u8_out: bool):
+                 brc: int, core_rows: int, n_tiles: int, u8_out: bool,
+                 stage: int = 5):
     """Grid = (tiles, row bands); the out block is per BAND (a whole-tile u8
     block would pay the 12->128 lane pad x2 in VMEM: 16.6MB at 1080p).  The
     h3 tile DMA runs at band 0 and is double-buffered across tiles.
@@ -219,7 +220,7 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
         hroll[1] = pltpu.roll(hf, lh - 2, 1).astype(jnp.bfloat16)
 
     h3 = h3x2.at[slot]
-    if True:
+    if stage >= 1:
         base = b * brc + 2     # h_pad row chunk of U1 row 0 (dr=0)
 
         # ---- up1: X1 (288, M1) <- 9 aligned slices of h / rolled h
@@ -231,11 +232,18 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                     src[:, pl.ds(off1, m1)]
         v = _dot_kn(w1_ref[:], x1[:]) + b1_ref[:]          # (128, M1)
         u1[:] = jnp.where(v >= 0, v, a1_ref[:] * v)        # PReLU, f32
+    if stage == 1:      # ablation: keep up1 alive (tools/exp_tail_ablate)
+        out_ref[:, 0] = u1[0:brc, 0:128].astype(jnp.bfloat16)[:, :, None] + \
+            jnp.zeros((brc, 128, 48), jnp.bfloat16)
+    if stage >= 2:
         # up2 column taps: X2[l=j+1] = U1[lane j+cx] = U1[l + cx - 1];
         # shifts cx-1 in {-2,-1,0}: roll(x, k): out[l] = in[l-k]
         u1r[0] = pltpu.roll(u1[:], 1, 1).astype(jnp.bfloat16)
         u1r[1] = pltpu.roll(u1[:], 2, 1).astype(jnp.bfloat16)
-
+    if stage == 2:
+        out_ref[:, 0] = u1r[0, 0:brc, 0:128][:, :, None] + \
+            jnp.zeros((brc, 128, 48), jnp.bfloat16)
+    if stage >= 3:
         # ---- up2: per row-phase a, one shared X2 (384, M2); 2 matmuls (a2)
         for a in range(2):
             for du_idx in range(3):
@@ -258,7 +266,10 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                 v2 = _dot_kn(w2_ref[a, a2i], x2[:]) + b2_ref[a2i]
                 r_buf[2 * a + a2i] = jnp.where(
                     v2 >= 0, v2, a2_ref[:] * v2).astype(jnp.bfloat16)
-
+    if stage == 3:
+        out_ref[:, 0] = r_buf[0, 0:brc, 0:128][:, :, None] + \
+            jnp.zeros((brc, 128, 48), jnp.bfloat16)
+    if stage >= 4:
         # ---- final: X3 (1152, M3) packed from the R_e buffers
         for rho in range(-1, 5):
             e, cy = rho & 3, (rho - (rho & 3)) // 4
@@ -272,7 +283,10 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                     src = pltpu.roll(src.astype(jnp.float32),
                                      (-cxf) % m3, 1)
                 x3[k0:k0 + CIN, :] = src.astype(jnp.bfloat16)
-
+    if stage == 4:
+        out_ref[:, 0] = x3[0:brc, 0:128][:, :, None] + \
+            jnp.zeros((brc, 128, 48), jnp.bfloat16)
+    if stage >= 5:
         res = jax.lax.dot_general(
             x3[:], w3_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (M3, 48)
@@ -296,7 +310,8 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
 
 def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
                     brc: int = 8, core_rows: int = CORE,
-                    u8_out: bool = False, interpret: bool = False):
+                    u8_out: bool = False, interpret: bool = False,
+                    stage: int = 5):
     """Returns fn(h3 (N, 32, (core_rows+10)*128) bf16) ->
     * u8_out=False: canvas (ny*core_rows, nx, 128, 48) bf16 (real cols at
       lane [3:123) of each chunk)
@@ -318,7 +333,7 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
     seo = jnp.asarray(weights["Seo"], jnp.bfloat16)
 
     kernel = functools.partial(_tail_kernel, brc=brc, core_rows=core_rows,
-                               n_tiles=n_tiles, u8_out=u8_out)
+                               n_tiles=n_tiles, u8_out=u8_out, stage=stage)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),    # h3 stays in HBM; manual DMA
