@@ -40,11 +40,13 @@ def plan_grid(height: int, width: int, brc: int = 15,
 def build_kernel_engine(body_apply, tail_params, height: int, width: int,
                         brc: int = 15, prep: str = "transpose",
                         out_uint8: bool = True, flat_channels: bool = True,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        plan: tuple[int, int, int] | None = None):
     """body_apply: (N, TR, T, 3) [-1,1] -> (N, TR, T, 32) bf16 body features.
     Returns fn(frame01 (H, W, 3)) -> (H*4, W*4*3) uint8 flat layout
-    (out_uint8) or (H*4, W*4, 3) f32 in [0,1]."""
-    ny, nx, cr = plan_grid(height, width, brc)
+    (out_uint8) or (H*4, W*4, 3) f32 in [0,1].  `plan` overrides the
+    (ny, nx, core_rows) grid (tools/exp_grid_shapes.py)."""
+    ny, nx, cr = plan or plan_grid(height, width, brc)
     m0 = 2                          # crop-stitch margins
     tr = cr + 4
     pad_h = (ny - 1) * cr + tr
@@ -81,7 +83,9 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
 
 def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
                                brc: int = 15, prep: str = "transpose",
-                               interpret: bool = False, **kw):
+                               interpret: bool = False,
+                               plan: tuple[int, int, int] | None = None,
+                               **kw):
     """Convenience: wire the FSRGAN body (XLA, bf16) to the fused tail."""
     from denoise_gan_tpu.models.fsrgan import FSRGANBody
 
@@ -94,4 +98,5 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
                           tiles, train=False)
 
     return build_kernel_engine(body_apply, params["tail"], height, width,
-                               brc=brc, prep=prep, interpret=interpret, **kw)
+                               brc=brc, prep=prep, interpret=interpret,
+                               plan=plan, **kw)

@@ -233,16 +233,18 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
         v = _dot_kn(w1_ref[:], x1[:]) + b1_ref[:]          # (128, M1)
         u1[:] = jnp.where(v >= 0, v, a1_ref[:] * v)        # PReLU, f32
     if stage == 1:      # ablation: keep up1 alive (tools/exp_tail_ablate)
-        out_ref[:, 0] = u1[0:brc, 0:128].astype(jnp.bfloat16)[:, :, None] + \
-            jnp.zeros((brc, 128, 48), jnp.bfloat16)
+        out_ref[:, 0] = (u1[0:brc, 0:128][:, :, None]
+                         + jnp.zeros((brc, 128, 48), jnp.float32)
+                         ).astype(jnp.bfloat16)
     if stage >= 2:
         # up2 column taps: X2[l=j+1] = U1[lane j+cx] = U1[l + cx - 1];
         # shifts cx-1 in {-2,-1,0}: roll(x, k): out[l] = in[l-k]
         u1r[0] = pltpu.roll(u1[:], 1, 1).astype(jnp.bfloat16)
         u1r[1] = pltpu.roll(u1[:], 2, 1).astype(jnp.bfloat16)
     if stage == 2:
-        out_ref[:, 0] = u1r[0, 0:brc, 0:128][:, :, None] + \
-            jnp.zeros((brc, 128, 48), jnp.bfloat16)
+        out_ref[:, 0] = (u1r[0, 0:brc, 0:128].astype(jnp.float32)[:, :, None]
+                         + jnp.zeros((brc, 128, 48), jnp.float32)
+                         ).astype(jnp.bfloat16)
     if stage >= 3:
         # ---- up2: per row-phase a, one shared X2 (384, M2); 2 matmuls (a2)
         for a in range(2):
@@ -267,8 +269,9 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                 r_buf[2 * a + a2i] = jnp.where(
                     v2 >= 0, v2, a2_ref[:] * v2).astype(jnp.bfloat16)
     if stage == 3:
-        out_ref[:, 0] = r_buf[0, 0:brc, 0:128][:, :, None] + \
-            jnp.zeros((brc, 128, 48), jnp.bfloat16)
+        out_ref[:, 0] = (r_buf[0, 0:brc, 0:128].astype(jnp.float32)[:, :, None]
+                         + jnp.zeros((brc, 128, 48), jnp.float32)
+                         ).astype(jnp.bfloat16)
     if stage >= 4:
         # ---- final: X3 (1152, M3) packed from the R_e buffers
         for rho in range(-1, 5):
@@ -284,8 +287,9 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                                      (-cxf) % m3, 1)
                 x3[k0:k0 + CIN, :] = src.astype(jnp.bfloat16)
     if stage == 4:
-        out_ref[:, 0] = x3[0:brc, 0:128][:, :, None] + \
-            jnp.zeros((brc, 128, 48), jnp.bfloat16)
+        out_ref[:, 0] = (x3[0:brc, 0:128].astype(jnp.float32)[:, :, None]
+                         + jnp.zeros((brc, 128, 48), jnp.float32)
+                         ).astype(jnp.bfloat16)
     if stage >= 5:
         res = jax.lax.dot_general(
             x3[:], w3_ref[:], (((0,), (0,)), ((), ())),

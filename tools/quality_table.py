@@ -141,10 +141,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--families", default="autoencoder,pix2pix,srgan,fsrgan")
     p.add_argument("--data_root", default="qdata")
+    p.add_argument("--epochs", type=int, default=0,
+                   help="override the per-family epoch budget")
     p.add_argument("--smoke", action="store_true",
                    help="tiny corpus + 1 epoch (CPU shake-out)")
     args = p.parse_args()
 
+    if args.epochs:
+        for k, (c, b, s, q, _) in FAMILY_CFG.items():
+            FAMILY_CFG[k] = (c, b, s, q, args.epochs)
     if args.smoke:
         for k, (c, b, s, q, _) in FAMILY_CFG.items():
             FAMILY_CFG[k] = (c, b, s, q, 1)
