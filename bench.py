@@ -35,7 +35,9 @@ def main() -> None:
         x0, train=False)
     # fused Pallas tail kernel engine (infer/kernel_engine.py): XLA body on
     # a <=128-tile grid + up1/up2/final-conv/tanh/crop-stitch/u8 in one
-    # VMEM-resident kernel; output is flat (H*4, W*4*3) uint8 (== HWC bytes)
+    # VMEM-resident kernel; output is the kernel's 5D uint8 whose C-order
+    # bytes ARE the (H*4, W*4*3) HWC stream (kernel_engine.flat_view is a
+    # zero-copy host flatten — the video CLI consumes it that way)
     denoise_frame = build_fsrgan_kernel_engine(
         variables["params"], variables.get("batch_stats", {}), H, W)
 

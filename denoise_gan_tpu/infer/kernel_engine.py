@@ -37,15 +37,39 @@ def plan_grid(height: int, width: int, brc: int = 15,
         ny -= 1     # fewer rows still cover the frame; keep tiles minimal
 
 
+def flat_view(out5: "np.ndarray | object", height: int, width: int,
+              scale: int = 4):
+    """Host-side zero-copy flatten of the kernel engine's 5D u8 output
+    (ny*CR, 4, nx, CORE, 12) to (H*scale, W*scale*3) HWC bytes.
+
+    The 5D array's C-order element sequence IS the flat byte stream (rows
+    (r, eo) major, then (x, col, fo, c)), so this is a numpy view plus a
+    crop; the row crop is free, the column crop is free when width is a
+    multiple of CORE (e.g. 1920)."""
+    import numpy as np
+    arr = np.asarray(out5)
+    cr4 = arr.shape[0] * 4
+    flat = arr.reshape(cr4, arr.shape[2] * CORE * 12)
+    return flat[:height * scale, :width * scale * 3]
+
+
 def build_kernel_engine(body_apply, tail_params, height: int, width: int,
                         brc: int = 15, prep: str = "transpose",
                         out_uint8: bool = True, flat_channels: bool = True,
                         interpret: bool = False,
                         plan: tuple[int, int, int] | None = None):
     """body_apply: (N, TR, T, 3) [-1,1] -> (N, TR, T, 32) bf16 body features.
-    Returns fn(frame01 (H, W, 3)) -> (H*4, W*4*3) uint8 flat layout
-    (out_uint8) or (H*4, W*4, 3) f32 in [0,1].  `plan` overrides the
-    (ny, nx, core_rows) grid (tools/exp_grid_shapes.py)."""
+    Returns fn(frame01 (H, W, 3)) ->
+    * out_uint8 (default): the kernel's raw (ny*CR, 4, nx, CORE, 12) uint8
+      output, whose C-order bytes ARE the (H'*4, W'*4*3) flat HWC stream —
+      use :func:`flat_view` for a zero-copy host flatten+crop.  Returning
+      the 5D avoids an 8.3 ms/frame device relayout (PERF.md r2): the
+      (120, 12) minors are (8,128)-tiled so a device-side reshape reads
+      ~10.7x padded bytes, while the device->host transfer de-tiles for
+      free either way.
+    * else: (H*4, W*4, 3) f32 in [0,1].
+    `plan` overrides the (ny, nx, core_rows) grid
+    (tools/exp_grid_shapes.py)."""
     ny, nx, cr = plan or plan_grid(height, width, brc)
     m0 = 2                          # crop-stitch margins
     tr = cr + 4
@@ -57,21 +81,22 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
     if u8_path:
         fused = build_fused_tail_u8(tail_params, ny, nx, brc=brc,
                                     core_rows=cr, prep=prep,
-                                    interpret=interpret)
+                                    interpret=interpret, flat=False)
     else:
         fused = build_fused_tail(tail_params, ny, nx, brc=brc, core_rows=cr,
                                  prep=prep, interpret=interpret)
 
     @jax.jit
     def run(frame01):
-        x = frame01 * 2.0 - 1.0
+        # bf16 BEFORE pad/extract: halves the input-stage traffic and is
+        # numerically free — FSRGANBody casts tiles to bf16 at entry anyway
+        x = (frame01 * 2.0 - 1.0).astype(jnp.bfloat16)
         x = jnp.pad(x, ((m0, pad_h - height - m0),
                         (m0, pad_w - width - m0), (0, 0)), mode="edge")
         tiles = extract_grid(x, ny, nx, (tr, T), (cr, CORE))
         h = body_apply(tiles)
         if u8_path:
-            flat = fused(h)                       # (ny*cr*4, nx*120*12) u8
-            return flat[:height * scale, :width * scale * 3]
+            return fused(h)                       # (ny*cr, 4, nx, 120, 12)
         canvas = fused(h)                         # (ny*cr, nx*120, 48)
         out01 = jnp.clip((canvas.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
         from denoise_gan_tpu.ops.image import depth_to_space

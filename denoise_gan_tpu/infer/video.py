@@ -177,7 +177,14 @@ def process_video(args) -> dict:
         if engine is not None:
             out = engine(x)
             if engine_flat:
-                arr = np.asarray(out).reshape(fh * scale, fw * scale, 3)
+                if out.ndim == 5:
+                    # kernel engine: 5D u8 whose C-order bytes are the flat
+                    # HWC stream — zero-copy host flatten + crop
+                    from denoise_gan_tpu.infer.kernel_engine import flat_view
+                    arr = flat_view(out, fh, fw, scale)
+                    arr = arr.reshape(fh * scale, fw * scale, 3)
+                else:
+                    arr = np.asarray(out).reshape(fh * scale, fw * scale, 3)
                 if writer is not None:
                     writer.write(arr[..., ::-1])
                 frames += 1

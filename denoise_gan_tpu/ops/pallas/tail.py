@@ -416,16 +416,29 @@ def build_fused_tail(tail_params: Any, ny: int, nx: int, brc: int = 8,
 
 def build_fused_tail_u8(tail_params: Any, ny: int, nx: int, brc: int = 8,
                         core_rows: int = CORE, interpret: bool = False,
-                        prep: str = "transpose"):
-    """fn(h_tiles (ny*nx, core_rows+4, T, 32)) ->
-    (ny*core_rows*4, nx*CORE*12) uint8 — the flat byte layout of the
-    (ny*core_rows*4, nx*CORE*4, 3) HWC fine image."""
+                        prep: str = "transpose", flat: bool = True):
+    """fn(h_tiles (ny*nx, core_rows+4, T, 32)) -> uint8 fine image bytes.
+
+    flat=True: (ny*core_rows*4, nx*CORE*12) — the flat byte layout of the
+    HWC fine image.  This DEVICE-side reshape is NOT free: the 5D kernel
+    output's (120, 12) minor dims are physically (8,128)-tiled (~10.7x lane
+    padding), so XLA relayouts ~1 GB — measured 8.3 ms/frame at 1080p
+    (PERF.md r2 profile, reshape.21).
+
+    flat=False: the raw (ny*core_rows, 4, nx, CORE, 12) kernel output.  Its
+    C-order element sequence is ALREADY the flat HWC byte stream (row
+    (r,eo) major, then (x, col, fo, c)), so
+    ``np.asarray(out).reshape(ny*core_rows*4, nx*CORE*12)`` on the host is
+    a zero-copy view — the device->host transfer de-tiles either way.
+    Prefer this for throughput paths (infer/kernel_engine.py)."""
     weights = prep_weights(tail_params)
     call = build_tail_call(weights, ny, nx, brc, core_rows, u8_out=True,
                            interpret=interpret)
 
     def run(h_tiles):
         out = call(make_h3(h_tiles, prep))
-        return out.reshape(ny * core_rows * 4, nx * CORE * 12)
+        if flat:
+            return out.reshape(ny * core_rows * 4, nx * CORE * 12)
+        return out
 
     return run

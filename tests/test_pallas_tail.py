@@ -71,7 +71,10 @@ def test_kernel_engine_matches_plain_generator(tail_setup, rng):
     frame01 = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
     eng = build_fsrgan_kernel_engine(params, stats, H, W, brc=24,
                                      interpret=True)
-    got = np.asarray(eng(frame01))
+    out5 = eng(frame01)
+    assert out5.ndim == 5                   # raw kernel output (PERF.md r2)
+    from denoise_gan_tpu.infer.kernel_engine import flat_view
+    got = np.ascontiguousarray(flat_view(out5, H, W))
     assert got.shape == (H * 4, W * 4 * 3)
 
     # reference: plain generator on the engine's own (rectangular) tiles,

@@ -24,8 +24,9 @@ REPS = 8
 
 def conv(x, cout, k, groups=1, key=0):
     cin = x.shape[-1]
-    w = jax.random.normal(jax.random.key(key), (k, k, cin // groups, cout),
-                          jnp.bfloat16) * (0.3 / np.sqrt(k * k * cin))
+    w = (jax.random.normal(jax.random.key(key), (k, k, cin // groups, cout),
+                           jnp.bfloat16)
+         * jnp.bfloat16(0.3 / np.sqrt(k * k * cin)))
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME", feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -60,12 +61,14 @@ def chained(**kw):
     return fn
 
 
-def timeit(fn, x, n=3, label=""):
-    jax.block_until_ready(fn(x))
+def timeit(fn, xs, n=4, label=""):
+    # NOTE: through the axon tunnel block_until_ready does NOT reliably
+    # block on these programs — fetch a scalar to force execution.
+    fetch = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
+    float(fetch(fn(xs[0])))
     t0 = time.time()
-    for _ in range(n):
-        out = fn(x)
-    jax.block_until_ready(out)
+    for i in range(n):
+        float(fetch(fn(xs[i % 2])))
     dt = (time.time() - t0) / n / REPS * 1000
     print(f"{label}: {dt:.2f} ms", flush=True)
     return dt
@@ -74,11 +77,12 @@ def timeit(fn, x, n=3, label=""):
 def main():
     N, H, W = 128, 139, 124
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((N, H, W, 3)) * 0.5, jnp.bfloat16)
+    xs = [jnp.asarray(rng.standard_normal((N, H, W, 3)) * 0.5, jnp.bfloat16)
+          for _ in range(2)]
 
-    t_full = timeit(chained(), x, label="full body (chained)")
-    t_nodw = timeit(chained(use_dw=False), x, label="body w/o depthwise")
-    t_dwonly = timeit(chained(use_exp=False), x, label="body dw@32 only")
+    t_full = timeit(chained(), xs, label="full body (chained)")
+    t_nodw = timeit(chained(use_dw=False), xs, label="body w/o depthwise")
+    t_dwonly = timeit(chained(use_exp=False), xs, label="body dw@32 only")
     print(f"=> dw total ~{t_full - t_nodw:.2f} ms; "
           f"matmul-conv total ~{t_nodw:.2f} ms (incl. feedback proj)")
 
