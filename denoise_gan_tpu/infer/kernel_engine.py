@@ -16,6 +16,8 @@ Pipeline per frame (one jitted program):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -86,7 +88,19 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
         fused = build_fused_tail(tail_params, ny, nx, brc=brc, core_rows=cr,
                                  prep=prep, interpret=interpret)
 
-    @jax.jit
+    if u8_path and not interpret:
+        # Pin the jit output to the row-major (default) layout: XLA's layout
+        # assignment otherwise picks a permuted layout for the u8 root and
+        # inserts a 2.3 ms/frame copy of the pallas output (PERF.md r2).
+        from jax.experimental import layout as jlayout
+        out_fmt = jlayout.Format(
+            jlayout.Layout(major_to_minor=(0, 1, 2, 3, 4)),
+            jax.sharding.SingleDeviceSharding(jax.devices()[0]))
+        deco = functools.partial(jax.jit, out_shardings=out_fmt)
+    else:
+        deco = jax.jit
+
+    @deco
     def run(frame01):
         # bf16 BEFORE pad/extract: halves the input-stage traffic and is
         # numerically free — FSRGANBody casts tiles to bf16 at entry anyway
