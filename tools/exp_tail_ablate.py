@@ -51,10 +51,13 @@ def main():
                       jnp.bfloat16) for _ in range(2)]
     h3s = [jax.jit(make_h3)(h) for h in hs]
 
+    import os
+    stages = [int(s) for s in os.environ.get("STAGES", "1,2,3,4,5").split(",")
+              if s]
     for brc in brcs:
         if cr % brc:
             continue
-        for stage in (1, 2, 3, 4, 5):
+        for stage in stages:
             fn = jax.jit(build_tail_call(weights, ny, nx, brc=brc,
                                          core_rows=cr, stage=stage))
             timeit(fn, h3s, label=f"brc={brc} stage={stage} (canvas)")
