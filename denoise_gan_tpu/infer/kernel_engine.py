@@ -10,8 +10,8 @@ Pipeline per frame (one jitted program):
 
   pad(edge, +2 pre-roll) -> extract_grid (rect) -> FSRGAN body (XLA, bf16)
   -> fused tail kernel (up1+up2+final conv+tanh+crop-stitch+u8, VMEM)
-  -> (H*4, W*4*3) uint8 flat output (byte-identical to HWC), via a FREE
-     reshape of the kernel's (ny*CR, 4, nx, 120, 12) u8 canvas.
+  -> raw (ny*CR, 4, nx, 120, 12) uint8 whose C-order bytes ARE the
+     (H*4, W*4*3) flat HWC stream (flat_view() = zero-copy host flatten).
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ from denoise_gan_tpu.ops.pallas.tail import CORE, T, build_fused_tail, \
     build_fused_tail_u8
 
 
-def plan_grid(height: int, width: int, brc: int = 15,
+def plan_grid(height: int, width: int, brc: int = 45,
               max_tiles: int = 128) -> tuple[int, int, int]:
     """Pick (ny, nx, core_rows): col stride fixed at CORE=120; rows chosen
     so ny*nx <= max_tiles when possible and core_rows % brc == 0."""
@@ -56,7 +56,7 @@ def flat_view(out5: "np.ndarray | object", height: int, width: int,
 
 
 def build_kernel_engine(body_apply, tail_params, height: int, width: int,
-                        brc: int = 15, prep: str = "transpose",
+                        brc: int = 45, prep: str = "transpose",
                         out_uint8: bool = True, flat_channels: bool = True,
                         interpret: bool = False,
                         plan: tuple[int, int, int] | None = None):
@@ -121,7 +121,7 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
 
 
 def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
-                               brc: int = 15, prep: str = "transpose",
+                               brc: int = 45, prep: str = "transpose",
                                interpret: bool = False,
                                plan: tuple[int, int, int] | None = None,
                                **kw):

@@ -387,7 +387,9 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            # 24MB fits brc<=15 at the production geometry; larger bands
+            # need more scoped VMEM (v5e has 128MB physical)
+            vmem_limit_bytes=max(24, 2 * brc) * 1024 * 1024),
         interpret=interpret,
     )
 
