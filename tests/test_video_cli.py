@@ -1,0 +1,77 @@
+"""End-to-end video CLI test on CPU: synthetic mp4 in -> denoised mp4 out.
+
+Covers the reader thread, whole-frame and tiled engine paths, the mp4
+writer, and scoring (rebuild of /root/reference/infer_video.py's pipeline —
+whose own VideoWriter was commented out).  The fused-kernel path is
+TPU-only (tested in interpret mode by test_pallas_tail.py); here the CPU
+backend selects the XLA engine.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def small_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "in.mp4")
+    rng = np.random.default_rng(3)
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 12, (64, 48))
+    base = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    for i in range(5):
+        w.write(np.roll(base, i * 2, axis=1))
+    w.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def ae_export(tmp_path_factory):
+    """Params-only .dgt export of a freshly-initialized autoencoder."""
+    from denoise_gan_tpu.io.checkpoint import export_generator
+    from denoise_gan_tpu.models import build_models
+
+    bundle = build_models("autoencoder", scale=1)
+    variables = bundle.generator.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    path = str(tmp_path_factory.mktemp("m") / "autoencoder.dgt")
+    export_generator(path, "autoencoder", 1, variables["params"],
+                     variables.get("batch_stats", {}))
+    return path
+
+
+@pytest.mark.parametrize("tile", [0, 32])
+def test_video_cli_end_to_end(small_video, ae_export, tmp_path, tile):
+    from denoise_gan_tpu.infer.video import main
+
+    out = str(tmp_path / f"out_{tile}.mp4")
+    main(["--input_video", small_video, "--output_video", out,
+          "--model", ae_export, "--max_frames", "3", "--score", "0",
+          "--tile", str(tile), "--tile_overlap", "8", "--fast", "0"])
+
+    assert os.path.exists(out)
+    cap = cv2.VideoCapture(out)
+    ok, frame = cap.read()
+    assert ok
+    assert frame.shape == (48, 64, 3)          # scale=1 family
+    n = 1
+    while cap.read()[0]:
+        n += 1
+    assert n == 3
+    cap.release()
+
+
+def test_video_cli_scoring(small_video, ae_export, tmp_path, capsys):
+    """--score computes PSNR/SSIM against the (identity-upscaled) input."""
+    from denoise_gan_tpu.infer.video import main
+
+    main(["--input_video", small_video, "--model", ae_export,
+          "--max_frames", "2", "--score", "1", "--tile", "0", "--fast", "0"])
+    outtxt = capsys.readouterr().out
+    assert "psnr=" in outtxt and "ssim=" in outtxt
