@@ -59,7 +59,8 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
                         brc: int = 45, prep: str = "transpose",
                         out_uint8: bool = True, flat_channels: bool = True,
                         interpret: bool = False,
-                        plan: tuple[int, int, int] | None = None):
+                        plan: tuple[int, int, int] | None = None,
+                        tail_builders=None):
     """body_apply: (N, TR, T, 3) [-1,1] -> (N, TR, T, 32) bf16 body features.
     Returns fn(frame01 (H, W, 3)) ->
     * out_uint8 (default): the kernel's raw (ny*CR, 4, nx, CORE, 12) uint8
@@ -80,13 +81,14 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
     scale = 4
     u8_path = out_uint8 and flat_channels
 
+    mk_canvas, mk_u8 = tail_builders or (build_fused_tail,
+                                         build_fused_tail_u8)
     if u8_path:
-        fused = build_fused_tail_u8(tail_params, ny, nx, brc=brc,
-                                    core_rows=cr, prep=prep,
-                                    interpret=interpret, flat=False)
+        fused = mk_u8(tail_params, ny, nx, brc=brc, core_rows=cr, prep=prep,
+                      interpret=interpret, flat=False)
     else:
-        fused = build_fused_tail(tail_params, ny, nx, brc=brc, core_rows=cr,
-                                 prep=prep, interpret=interpret)
+        fused = mk_canvas(tail_params, ny, nx, brc=brc, core_rows=cr,
+                          prep=prep, interpret=interpret)
 
     if u8_path and not interpret:
         # Pin the jit output to the row-major (default) layout: XLA's layout
@@ -139,3 +141,29 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
     return build_kernel_engine(body_apply, params["tail"], height, width,
                                brc=brc, prep=prep, interpret=interpret,
                                plan=plan, **kw)
+
+
+def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,
+                              brc: int = 15, prep: str = "transpose",
+                              interpret: bool = False,
+                              plan: tuple[int, int, int] | None = None,
+                              **kw):
+    """SRGAN 4x variant: 16-resblock body (XLA, bf16) + the CIN=64 fused
+    tail kernel (ops/pallas/tail_srgan.py).  Same geometry and output
+    contracts as the FSRGAN engine."""
+    from denoise_gan_tpu.models.srgan import SRGANBody
+    from denoise_gan_tpu.ops.pallas import tail_srgan
+
+    body = SRGANBody(dtype=jnp.bfloat16)
+    body_p = params["body"]
+    body_s = (batch_stats or {}).get("body", {})
+
+    def body_apply(tiles):
+        return body.apply({"params": body_p, "batch_stats": body_s},
+                          tiles, train=False)
+
+    return build_kernel_engine(
+        body_apply, params["tail"], height, width, brc=brc, prep=prep,
+        interpret=interpret, plan=plan,
+        tail_builders=(tail_srgan.build_fused_tail64,
+                       tail_srgan.build_fused_tail64_u8), **kw)

@@ -99,21 +99,29 @@ def process_video(args) -> dict:
         # only; ~1.2x the XLA crop engine (PERF.md r2)
         use_kernel = (args.kernel_tail != 0 if args.kernel_tail >= 0
                       else jax.default_backend() != "cpu")
-        if (use_kernel and flat and args.tile > 0
-                and config.get("family") == "fsrgan" and scale == 4):
-            from denoise_gan_tpu.infer.kernel_engine import \
-                build_fsrgan_kernel_engine
-            engine = build_fsrgan_kernel_engine(params, batch_stats, fh, fw)
+        if (use_kernel and flat and args.tile > 0 and scale == 4
+                and config.get("family") in ("fsrgan", "srgan")):
+            from denoise_gan_tpu.infer import kernel_engine
+            build = (kernel_engine.build_fsrgan_kernel_engine
+                     if config.get("family") == "fsrgan"
+                     else kernel_engine.build_srgan_kernel_engine)
+            engine = build(params, batch_stats, fh, fw)
             engine_flat = True
         else:
             try:
+                # bf16 tail output + stitch accumulation halves the engine's
+                # memory traffic (<=1 u8 level difference on ~1% of pixels,
+                # PERF.md); the reference's srgan default is fp16=1 anyway
+                eng_dt = jnp.bfloat16 if args.engine_bf16 else jnp.float32
                 fwd_coarse, scale = build_fast_coarse(config, params,
-                                                      batch_stats)
+                                                      batch_stats,
+                                                      out_dtype=eng_dt)
                 engine = build_frame_engine(fwd_coarse, fh, fw, scale,
                                             args.tile, args.tile_overlap,
                                             out_uint8=flat,
                                             flat_channels=flat,
-                                            stitch=args.stitch)
+                                            stitch=args.stitch,
+                                            acc_dtype=eng_dt)
                 engine_flat = flat
             except ValueError:
                 engine = None
@@ -265,6 +273,9 @@ def build_parser() -> ArgumentParser:
                         help="optional ground-truth video for scoring")
     parser.add_argument("--fast", default=1, type=int,
                         help="coarse-space bf16 inference rewrite (infer/fast.py)")
+    parser.add_argument("--engine_bf16", default=1, type=int,
+                        help="bf16 tail/stitch in the frame engine "
+                             "(<=1 u8 level difference; 0 = f32)")
     parser.add_argument("--kernel_tail", default=-1, type=int,
                         help="fused Pallas tail kernel engine (fsrgan 4x): "
                              "1=force, 0=off, -1=auto (on except CPU)")

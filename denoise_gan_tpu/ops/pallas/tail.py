@@ -141,8 +141,9 @@ def prep_weights(tail_params: Any) -> dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 # XLA-side input prep
 
-def make_h3(h_tiles: jax.Array, prep: str = "transpose") -> jax.Array:
-    """(N, TR, 124, 32) body output -> (N, 32, (TR+6)*128) bf16 chunk-flat,
+def make_h3(h_tiles: jax.Array, prep: str = "transpose",
+            cin: int = CIN) -> jax.Array:
+    """(N, TR, 124, cin) body output -> (N, cin, (TR+6)*128) bf16 chunk-flat,
     ONE copy: channel-major, rows as 128-lane chunks holding cols [-1, 127)
     (124 output cols only ever read cols [-1,126), so one 128-chunk covers
     every tap; the dc-shifts become two in-kernel lane rolls).
@@ -158,13 +159,13 @@ def make_h3(h_tiles: jax.Array, prep: str = "transpose") -> jax.Array:
     hb = h_tiles.astype(jnp.bfloat16)
     hp = jnp.pad(hb, ((0, 0), (3, 3), (1, 3), (0, 0)))     # (N,TR+6,128,32)
     if prep == "conv":
-        eye = jnp.eye(CIN, dtype=jnp.bfloat16).reshape(1, 1, CIN, CIN)
+        eye = jnp.eye(cin, dtype=jnp.bfloat16).reshape(1, 1, cin, cin)
         ht = jax.lax.conv_general_dilated(
             hp, eye, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NCHW"))    # (N,32,TR+6,128)
+            dimension_numbers=("NHWC", "HWIO", "NCHW"))    # (N,cin,TR+6,128)
     else:
-        ht = hp.transpose(0, 3, 1, 2)                      # (N,32,TR+6,128)
-    return ht.reshape(n, CIN, (tr + 6) * 128)
+        ht = hp.transpose(0, 3, 1, 2)                      # (N,cin,TR+6,128)
+    return ht.reshape(n, cin, (tr + 6) * 128)
 
 
 # ---------------------------------------------------------------------------
