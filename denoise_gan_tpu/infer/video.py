@@ -85,6 +85,18 @@ def process_video(args) -> dict:
     # --tile 0 --fast 1 selects the whole-frame engine: exact inference (no
     # tile-seam approximation; measured ~1.4% of pixels differ by >1 u8 level
     # vs tiled 144/4) at ~0.75x the tiled throughput (PERF.md r2).
+    if args.fast and args.tile > 0 and not bundle.upscales:
+        # 1x denoise families (autoencoder/pix2pix): crop-stitched frame
+        # engine with the plain generator per tile — one compiled program
+        # per frame (37-148 fps/chip at 1080p, PERF.md r2)
+        from denoise_gan_tpu.infer.engine import build_frame_engine
+        flat = not args.score
+        engine = build_frame_engine(
+            lambda tiles: forward(tiles), fh, fw, 1,
+            args.tile, args.tile_overlap, out_uint8=flat,
+            flat_channels=flat, stitch=args.stitch,
+            acc_dtype=jnp.bfloat16 if args.engine_bf16 else jnp.float32)
+        engine_flat = flat
     if args.fast and bundle.upscales:
         from denoise_gan_tpu.infer.engine import build_frame_engine
         from denoise_gan_tpu.infer.fast import build_fast_coarse

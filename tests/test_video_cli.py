@@ -46,14 +46,16 @@ def ae_export(tmp_path_factory):
     return path
 
 
-@pytest.mark.parametrize("tile", [0, 32])
-def test_video_cli_end_to_end(small_video, ae_export, tmp_path, tile):
+@pytest.mark.parametrize("tile,fast", [(0, 0), (32, 0), (32, 1)])
+def test_video_cli_end_to_end(small_video, ae_export, tmp_path, tile, fast):
+    """fast=1 with tile>0 on a 1x family exercises the crop-stitched frame
+    engine path (round-2 addition); fast=0 the plain tiled/whole paths."""
     from denoise_gan_tpu.infer.video import main
 
-    out = str(tmp_path / f"out_{tile}.mp4")
+    out = str(tmp_path / f"out_{tile}_{fast}.mp4")
     main(["--input_video", small_video, "--output_video", out,
           "--model", ae_export, "--max_frames", "3", "--score", "0",
-          "--tile", str(tile), "--tile_overlap", "8", "--fast", "0"])
+          "--tile", str(tile), "--tile_overlap", "8", "--fast", str(fast)])
 
     assert os.path.exists(out)
     cap = cv2.VideoCapture(out)
