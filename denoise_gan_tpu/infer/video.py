@@ -189,6 +189,30 @@ def process_video(args) -> dict:
     frames = 0
     psnr_sum = ssim_sum = 0.0
     t0 = time.time()
+
+    # Pipelined flat path: keep `args.pipeline` frames in flight so the
+    # device never idles while the host materializes/encodes the previous
+    # frame (np.asarray is the per-frame sync point).
+    import collections
+    inflight = collections.deque()
+
+    def _drain_one():
+        nonlocal frames
+        out = inflight.popleft()
+        if out.ndim == 5:
+            # kernel engine: 5D u8 whose C-order bytes are the flat
+            # HWC stream — zero-copy host flatten + crop
+            from denoise_gan_tpu.infer.kernel_engine import flat_view
+            arr = flat_view(out, fh, fw, scale)
+            arr = arr.reshape(fh * scale, fw * scale, 3)
+        else:
+            arr = np.asarray(out).reshape(fh * scale, fw * scale, 3)
+        if writer is not None:
+            writer.write(arr[..., ::-1])
+        frames += 1
+        if args.verbose:
+            print(f"frame {frames}", flush=True)
+
     while True:
         frame01 = q.get()
         if frame01 is None:
@@ -197,19 +221,9 @@ def process_video(args) -> dict:
         if engine is not None:
             out = engine(x)
             if engine_flat:
-                if out.ndim == 5:
-                    # kernel engine: 5D u8 whose C-order bytes are the flat
-                    # HWC stream — zero-copy host flatten + crop
-                    from denoise_gan_tpu.infer.kernel_engine import flat_view
-                    arr = flat_view(out, fh, fw, scale)
-                    arr = arr.reshape(fh * scale, fw * scale, 3)
-                else:
-                    arr = np.asarray(out).reshape(fh * scale, fw * scale, 3)
-                if writer is not None:
-                    writer.write(arr[..., ::-1])
-                frames += 1
-                if args.verbose:
-                    print(f"frame {frames}", flush=True)
+                inflight.append(out)
+                if len(inflight) > max(args.pipeline, 0):
+                    _drain_one()
                 continue
             out01 = out
         elif args.tile:
@@ -240,6 +254,8 @@ def process_video(args) -> dict:
         if args.verbose:
             print(f"frame {frames}", flush=True)
 
+    while inflight:
+        _drain_one()
     jax.effects_barrier()
     elapsed = time.time() - t0
     if writer is not None:
@@ -285,6 +301,9 @@ def build_parser() -> ArgumentParser:
                         help="optional ground-truth video for scoring")
     parser.add_argument("--fast", default=1, type=int,
                         help="coarse-space bf16 inference rewrite (infer/fast.py)")
+    parser.add_argument("--pipeline", default=2, type=int,
+                        help="frames kept in flight on the device in the "
+                             "flat engine path (0 = sync every frame)")
     parser.add_argument("--engine_bf16", default=1, type=int,
                         help="bf16 tail/stitch in the frame engine "
                              "(<=1 u8 level difference; 0 = f32)")
