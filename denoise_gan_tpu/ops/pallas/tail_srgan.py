@@ -116,7 +116,8 @@ def _dot_kn(w, x):
 def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                    w3_ref, b3_ref, seo_ref, out_ref,
                    h3x2, hroll, x1, u1, u1r, x2, r_buf, x3, sems,
-                   brc: int, core_rows: int, n_tiles: int, u8_out: bool):
+                   brc: int, core_rows: int, n_tiles: int, u8_out: bool,
+                   stage: int = 5):
     """Grid = (tiles, row bands); same band/DMA structure and lane
     conventions as tail.py's _tail_kernel (h: lane = col + 1; U1: lane =
     col; R/X3: lane = col + 1; output: real cols at lane [3:123))."""
@@ -150,20 +151,30 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
     h3 = h3x2.at[slot]
     base = b * brc + 2
 
-    # ---- up1: X1 (576, M1) <- 9 aligned slices of h / rolled h
-    for dr in range(3):
-        off1 = pl.multiple_of((base + dr) * 128, 128)
-        for dc in range(3):
-            src = h3 if dc == 0 else hroll.at[dc - 1]
-            x1[(dr * 3 + dc) * CIN:(dr * 3 + dc + 1) * CIN, :] = \
-                src[:, pl.ds(off1, m1)]
-    v = _dot_kn(w1_ref[:], x1[:]) + b1_ref[:]              # (256, M1)
-    u1[:] = jnp.where(v >= 0, v, a1_ref[:] * v)            # PReLU, f32
+    def _probe(vv):      # ablation-only output (tools/exp_tail64_ablate)
+        out_ref[:, 0] = (vv[0:brc, 0:128].astype(jnp.float32)[:, :, None]
+                         + jnp.zeros((brc, 128, 48), jnp.float32)
+                         ).astype(jnp.bfloat16)
+
+    if stage >= 1:
+        # ---- up1: X1 (576, M1) <- 9 aligned slices of h / rolled h
+        for dr in range(3):
+            off1 = pl.multiple_of((base + dr) * 128, 128)
+            for dc in range(3):
+                src = h3 if dc == 0 else hroll.at[dc - 1]
+                x1[(dr * 3 + dc) * CIN:(dr * 3 + dc + 1) * CIN, :] = \
+                    src[:, pl.ds(off1, m1)]
+        v = _dot_kn(w1_ref[:], x1[:]) + b1_ref[:]          # (256, M1)
+        u1[:] = jnp.where(v >= 0, v, a1_ref[:] * v)        # PReLU, f32
+    if stage == 1:
+        return _probe(u1[:])
 
     # up2 column taps: X2[l=j+1] = U1[lane j + cxu] = U1[l + cxu - 1];
     # shifts cxu-1 in {-2,-1,0}: u1r[0]=shift -1, u1r[1]=shift -2
     u1r[0] = pltpu.roll(u1[:], 1, 1).astype(jnp.bfloat16)
     u1r[1] = pltpu.roll(u1[:], 2, 1).astype(jnp.bfloat16)
+    if stage == 2:
+        return _probe(u1r[0].astype(jnp.float32))
 
     # ---- up2 (b-split): per (a, b) one X2 (576, M2); 2 matmuls (a2)
     for a in range(2):
@@ -189,6 +200,9 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                 r_buf[2 * a + a2i, bcol] = jnp.where(
                     v2 >= 0, v2, a2_ref[:] * v2).astype(jnp.bfloat16)
 
+    if stage == 3:
+        return _probe(r_buf[0, 0].astype(jnp.float32))
+
     # ---- final 1x1: X3 (1024, M3) = 16 aligned slices of R (no rolls)
     for eo in range(4):
         for fo in range(4):
@@ -196,6 +210,9 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
             k0 = (eo * 4 + fo) * CIN
             x3[k0:k0 + CIN, :] = \
                 r_buf[eo, bcol, b2i * CIN:(b2i + 1) * CIN, 128:128 + m3]
+
+    if stage == 4:
+        return _probe(x3[:].astype(jnp.float32))
 
     res = jax.lax.dot_general(
         x3[:], w3_ref[:], (((0,), (0,)), ((), ())),
@@ -216,7 +233,8 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
 
 def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
                       brc: int = 15, core_rows: int = CORE,
-                      u8_out: bool = False, interpret: bool = False):
+                      u8_out: bool = False, interpret: bool = False,
+                      stage: int = 5):
     """Returns fn(h3 (N, 64, (core_rows+10)*128) bf16) -> canvas
     (ny*core_rows, nx, 128, 48) bf16 or (ny*core_rows, 4, nx, 120, 12) u8
     (same contracts as tail.py's build_tail_call)."""
@@ -236,7 +254,7 @@ def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
     seo = jnp.asarray(weights["Seo"], jnp.bfloat16)
 
     kernel = functools.partial(_tail64_kernel, brc=brc, core_rows=core_rows,
-                               n_tiles=n_tiles, u8_out=u8_out)
+                               n_tiles=n_tiles, u8_out=u8_out, stage=stage)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + \
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
