@@ -60,7 +60,7 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
                         out_uint8: bool = True, flat_channels: bool = True,
                         interpret: bool = False,
                         plan: tuple[int, int, int] | None = None,
-                        tail_builders=None):
+                        tail_builders=None, jit_compile: bool = True):
     """body_apply: (N, TR, T, 3) [-1,1] -> (N, TR, T, 32) bf16 body features.
     Returns fn(frame01 (H, W, 3)) ->
     * out_uint8 (default): the kernel's raw (ny*CR, 4, nx, CORE, 12) uint8
@@ -90,7 +90,11 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
         fused = mk_canvas(tail_params, ny, nx, brc=brc, core_rows=cr,
                           prep=prep, interpret=interpret)
 
-    if u8_path and not interpret:
+    if not jit_compile:
+        # raw (untraced) fn, e.g. for wrapping in shard_map — the caller
+        # jits (tests/test_parallel.py frame-DP over the virtual mesh)
+        deco = lambda f: f
+    elif u8_path and not interpret:
         # Pin the jit output to the row-major (default) layout: XLA's layout
         # assignment otherwise picks a permuted layout for the u8 root and
         # inserts a 2.3 ms/frame copy of the pallas output (PERF.md r2).

@@ -112,3 +112,43 @@ def test_data_parallel_grads_match_single_device(rng):
     for x1, x8 in zip(a, b):
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x8),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_kernel_engine_frame_dp_matches_single_device(rng):
+    """Frame data-parallel inference with the fused tail KERNEL engine:
+    a batch of frames sharded over the data axis via shard_map, each device
+    running the full engine (pad/extract + body + pallas tail, interpret
+    mode) on its local frame — the zero-communication scale-out shape from
+    PERF.md.  Outputs must equal the per-frame single-device engine."""
+    from denoise_gan_tpu.infer.kernel_engine import (
+        build_fsrgan_kernel_engine,
+    )
+
+    H, W = 64, 70                       # tiny: 1x1 grid per frame
+    bundle = build_models("fsrgan", scale=4)
+    variables = bundle.generator.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, 124, 124, 3), jnp.float32), train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    eng_raw = build_fsrgan_kernel_engine(params, stats, H, W, brc=8,
+                                         interpret=True, jit_compile=False)
+    eng_single = build_fsrgan_kernel_engine(params, stats, H, W, brc=8,
+                                            interpret=True)
+
+    mesh = make_mesh(8)
+    frames = jnp.asarray(rng.random((8, H, W, 3)).astype(np.float32))
+    frames_sharded = jax.device_put(
+        frames, NamedSharding(mesh, P(DATA_AXIS)))
+
+    fn = jax.shard_map(lambda fb: eng_raw(fb[0])[None], mesh=mesh,
+                       in_specs=P(DATA_AXIS),
+                       out_specs=P(DATA_AXIS),
+                       check_vma=False)   # pallas_call has no vma support
+    out = jax.jit(fn)(frames_sharded)
+    assert len(out.sharding.device_set) == 8
+
+    for i in range(8):
+        want = np.asarray(eng_single(frames[i]))
+        np.testing.assert_array_equal(np.asarray(out[i]), want)
