@@ -38,22 +38,28 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: GANTrainState) -> None:
+        """ASYNC save (SURVEY.md §5): Orbax serializes in a background
+        thread so the periodic mid-training saves overlap the next steps.
+        Durability points (restore/close — incl. the SIGTERM
+        checkpoint-and-exit path, which closes the manager) wait."""
         self._mgr.save(step, args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state: GANTrainState) -> GANTrainState:
         """Restore the newest checkpoint into the structure of `state`
         (returns `state` unchanged if none exists — the reference's
         restore-if-retrain guard, /root/reference/train_srgan.py:225-227)."""
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step()
         if step is None:
             return state
         return self._mgr.restore(step, args=ocp.args.StandardRestore(state))
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 
