@@ -56,7 +56,7 @@ def flat_view(out5: "np.ndarray | object", height: int, width: int,
 
 
 def build_kernel_engine(body_apply, tail_params, height: int, width: int,
-                        brc: int = 45, prep: str = "transpose",
+                        brc: int = 45, prep: str = "conv",
                         out_uint8: bool = True, flat_channels: bool = True,
                         interpret: bool = False,
                         plan: tuple[int, int, int] | None = None,
@@ -127,7 +127,7 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
 
 
 def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
-                               brc: int = 45, prep: str = "transpose",
+                               brc: int = 45, prep: str = "conv",
                                interpret: bool = False,
                                plan: tuple[int, int, int] | None = None,
                                **kw):
@@ -148,7 +148,7 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
 
 
 def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,
-                              brc: int = 15, prep: str = "transpose",
+                              brc: int = 15, prep: str = "conv",
                               interpret: bool = False,
                               plan: tuple[int, int, int] | None = None,
                               **kw):
