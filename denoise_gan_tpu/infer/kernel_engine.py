@@ -55,6 +55,19 @@ def flat_view(out5: "np.ndarray | object", height: int, width: int,
     return flat[:height * scale, :width * scale * 3]
 
 
+def flat_to_hwc(out5, height: int, width: int, scale: int = 4):
+    """Device-side (traceable) flatten of the 5D u8 output to
+    (H*scale, W*scale, 3) f32 in [0,1] — the same byte mapping as
+    :func:`flat_view`, but on device.  Costs a ~8 ms/frame relayout of the
+    lane-padded (CORE, 12) minors (PERF.md r2), so keep it OFF the hot path
+    (it exists for subsampled on-device scoring in the video CLI)."""
+    cr4 = out5.shape[0] * 4
+    flat = out5.reshape(cr4, out5.shape[2] * out5.shape[3] * out5.shape[4])
+    flat = flat[:height * scale, :width * scale * 3]
+    return (flat.reshape(height * scale, width * scale, 3)
+            .astype(jnp.float32) / 255.0)
+
+
 def build_kernel_engine(body_apply, tail_params, height: int, width: int,
                         brc: int = 45, prep: str = "conv",
                         out_uint8: bool = True, flat_channels: bool = True,
@@ -121,7 +134,12 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
         out01 = jnp.clip((canvas.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
         from denoise_gan_tpu.ops.image import depth_to_space
         fine = depth_to_space(out01[None], scale)[0]
-        return fine[:height * scale, :width * scale]
+        fine = fine[:height * scale, :width * scale]
+        if out_uint8:
+            # honor the u8 request independently of flat_channels so the
+            # contract matches build_frame_engine (ADVICE.md r2)
+            return (fine * 255.0 + 0.5).astype(jnp.uint8)
+        return fine
 
     return run
 

@@ -82,6 +82,13 @@ def process_video(args) -> dict:
     # overlap-add stitch in ONE compiled program per frame, infer/engine.py)
     engine = None
     engine_flat = False
+    engine_kernel = False
+    engine_name = "whole-frame" if not args.tile else "plain-tiled"
+    # Scoring cadence: the fused-kernel path scores from its u8 output via a
+    # device-side relayout (~20-40 ms per scored frame), so by default it
+    # scores every 8th frame to stay within ~10% of the unscored fps
+    # (VERDICT r2 #4); other engines score every frame.
+    score_every = args.score_every
     # --tile 0 --fast 1 selects the whole-frame engine: exact inference (no
     # tile-seam approximation; measured ~1.4% of pixels differ by >1 u8 level
     # vs tiled 144/4) at ~0.75x the tiled throughput (PERF.md r2).
@@ -97,29 +104,48 @@ def process_video(args) -> dict:
             flat_channels=flat, stitch=args.stitch,
             acc_dtype=jnp.bfloat16 if args.engine_bf16 else jnp.float32)
         engine_flat = flat
+        engine_name = f"xla-crop ({args.tile}/{args.tile_overlap})"
+        if args.kernel_tail == 1:
+            print("note: --kernel_tail 1 ignored — the fused kernel engine "
+                  f"exists only for fsrgan/srgan 4x (family="
+                  f"{config.get('family')}, scale=1); using the XLA crop "
+                  "engine", flush=True)
     if args.fast and bundle.upscales:
         from denoise_gan_tpu.infer.engine import build_frame_engine
         from denoise_gan_tpu.infer.fast import build_fast_coarse
         from denoise_gan_tpu.io.checkpoint import load_generator
         _, params, batch_stats = load_generator(get_path(args.model))
         # uint8 + flat channel layout: byte-identical to HWC, ~23ms/frame
-        # cheaper (PERF.md); reshaped to HWC on host for free.  On-device
-        # scoring needs the HWC float frame, so --score keeps that layout.
-        flat = not args.score
+        # cheaper (PERF.md); reshaped to HWC on host for free.  The fused
+        # kernel engine always emits flat u8; --score works with it via
+        # subsampled device-side scoring from that output (score_every).
+        flat = True
         # fastest path: the fused Pallas tail kernel engine (body on a
-        # <=128-tile grid + tail/stitch/u8 in one VMEM kernel) — fsrgan 4x
-        # only; ~1.2x the XLA crop engine (PERF.md r2)
+        # <=128-tile grid + tail/stitch/u8 in one VMEM kernel) — fsrgan and
+        # srgan 4x; ~1.2x the XLA crop engine (PERF.md r2)
         use_kernel = (args.kernel_tail != 0 if args.kernel_tail >= 0
                       else jax.default_backend() != "cpu")
-        if (use_kernel and flat and args.tile > 0 and scale == 4
-                and config.get("family") in ("fsrgan", "srgan")):
+        kernel_ok = args.tile > 0 and scale == 4 and \
+            config.get("family") in ("fsrgan", "srgan")
+        if use_kernel and kernel_ok:
             from denoise_gan_tpu.infer import kernel_engine
             build = (kernel_engine.build_fsrgan_kernel_engine
                      if config.get("family") == "fsrgan"
                      else kernel_engine.build_srgan_kernel_engine)
             engine = build(params, batch_stats, fh, fw)
             engine_flat = True
+            engine_kernel = True
+            engine_name = (f"fused-kernel ({config.get('family')} 4x; fixed "
+                           "124/120 tile geometry — --tile/--tile_overlap/"
+                           "--stitch not used)")
         else:
+            if args.kernel_tail == 1 and not kernel_ok:
+                print("note: --kernel_tail 1 ignored — the fused kernel "
+                      "engine needs --tile > 0, scale 4 and family fsrgan/"
+                      f"srgan (got tile={args.tile}, scale={scale}, family="
+                      f"{config.get('family')}); using the XLA engine",
+                      flush=True)
+            flat = not args.score
             try:
                 # bf16 tail output + stitch accumulation halves the engine's
                 # memory traffic (<=1 u8 level difference on ~1% of pixels,
@@ -135,8 +161,17 @@ def process_video(args) -> dict:
                                             stitch=args.stitch,
                                             acc_dtype=eng_dt)
                 engine_flat = flat
+                engine_name = (f"xla-{args.stitch} coarse "
+                               f"({args.tile}/{args.tile_overlap})")
             except ValueError:
                 engine = None
+                engine_name = "whole-frame" if not args.tile \
+                    else "plain-tiled"
+    if score_every <= 0:
+        score_every = 8 if (engine_kernel and args.score) else 1
+    print(f"engine: {engine_name}"
+          + (f"; scoring every {score_every}th frame on device"
+             if args.score else "; scoring off"), flush=True)
 
     cap = cv2.VideoCapture(input_path)
     if args.frame_start:
@@ -179,6 +214,17 @@ def process_video(args) -> dict:
         return jnp.clip(resize_bicubic(x01[None], fh * scale,
                                        fw * scale)[0], 0.0, 1.0)
 
+    # Scoring directly from the kernel engine's 5D u8 output: device-side
+    # relayout to HWC f32 + PSNR/SSIM vs the (bicubic-upscaled input or
+    # clean-video) reference.  Run every `score_every` frames only — the
+    # relayout + 4K SSIM cost ~20-40 ms/scored frame (VERDICT r2 #4).
+    @jax.jit
+    def score_5d(out5, ref01):
+        from denoise_gan_tpu.infer.kernel_engine import flat_to_hwc
+        out01 = flat_to_hwc(out5, fh, fw, scale)
+        a, b = out01[None], ref01[None]
+        return psnr(a, b)[0], ssim(a, b)[0]
+
     q: queue.Queue = queue.Queue(maxsize=8)
     threading.Thread(target=_reader, args=(cap, q, args.max_frames),
                      daemon=True).start()
@@ -187,6 +233,8 @@ def process_video(args) -> dict:
         return forward(tiles_m11)
 
     frames = 0
+    submitted = 0
+    scored = 0
     psnr_sum = ssim_sum = 0.0
     t0 = time.time()
 
@@ -218,9 +266,26 @@ def process_video(args) -> dict:
         if frame01 is None:
             break
         x = jnp.asarray(frame01)
+        # keep the clean-reference stream in frame sync regardless of the
+        # scoring cadence
+        clean_ref = None
+        if args.score and clean_cap is not None:
+            ok, clean = clean_cap.read()
+            if ok:
+                clean_ref = jnp.asarray(
+                    clean[..., ::-1].astype(np.float32) / 255.0)
         if engine is not None:
             out = engine(x)
             if engine_flat:
+                if args.score and engine_kernel \
+                        and submitted % score_every == 0:
+                    ref = clean_ref if clean_ref is not None \
+                        else upscale_ref(x)
+                    p, s = score_5d(out, ref)
+                    psnr_sum += float(p)
+                    ssim_sum += float(s)
+                    scored += 1
+                submitted += 1
                 inflight.append(out)
                 if len(inflight) > max(args.pipeline, 0):
                     _drain_one()
@@ -234,16 +299,13 @@ def process_video(args) -> dict:
         else:
             out01 = whole_frame(x)
 
-        if args.score:
-            if clean_cap is not None:
-                ok, clean = clean_cap.read()
-                ref = jnp.asarray(clean[..., ::-1].astype(np.float32) / 255.0) \
-                    if ok else upscale_ref(x)
-            else:
-                ref = upscale_ref(x)
+        if args.score and submitted % score_every == 0:
+            ref = clean_ref if clean_ref is not None else upscale_ref(x)
             p, s = score(out01, ref)
             psnr_sum += float(p)
             ssim_sum += float(s)
+            scored += 1
+        submitted += 1
 
         if writer is not None:
             # round (+0.5) like the engine's uint8 path, not truncate —
@@ -266,13 +328,15 @@ def process_video(args) -> dict:
         "frames": frames,
         "seconds": elapsed,
         "fps": frames / max(elapsed, 1e-9),
-        "psnr": psnr_sum / frames if args.score and frames else None,
-        "ssim": ssim_sum / frames if args.score and frames else None,
+        "scored_frames": scored,
+        "psnr": psnr_sum / scored if args.score and scored else None,
+        "ssim": ssim_sum / scored if args.score and scored else None,
     }
     print(f"processed {frames} frames in {elapsed:.2f}s "
           f"({result['fps']:.2f} fps/chip)"
-          + (f", psnr={result['psnr']:.2f}, ssim={result['ssim']:.4f}"
-             if args.score else ""))
+          + (f", psnr={result['psnr']:.2f}, ssim={result['ssim']:.4f} "
+             f"({scored} frames scored)"
+             if args.score and scored else ""))
     return result
 
 
@@ -296,7 +360,16 @@ def build_parser() -> ArgumentParser:
                              "— PERF.md r2) or feathered overlap-add")
     parser.add_argument("--tile_batch", default=0, type=int)
     parser.add_argument("--score", default=1, type=int,
-                        help="compute on-device PSNR/SSIM per frame")
+                        help="compute on-device PSNR/SSIM (vs the bicubic-"
+                             "upscaled input, or --clean_video).  With the "
+                             "fused kernel engine, scores from its uint8 "
+                             "output every --score_every frames; metrics "
+                             "therefore reflect the engine's u8/bf16 "
+                             "quantization (<=1 u8 level, PERF.md)")
+    parser.add_argument("--score_every", default=0, type=int,
+                        help="score every Nth frame; 0 = auto (8 on the "
+                             "fused kernel engine to stay within ~10%% of "
+                             "unscored fps, else every frame)")
     parser.add_argument("--clean_video", default="", type=str,
                         help="optional ground-truth video for scoring")
     parser.add_argument("--fast", default=1, type=int,
@@ -308,8 +381,12 @@ def build_parser() -> ArgumentParser:
                         help="bf16 tail/stitch in the frame engine "
                              "(<=1 u8 level difference; 0 = f32)")
     parser.add_argument("--kernel_tail", default=-1, type=int,
-                        help="fused Pallas tail kernel engine (fsrgan 4x): "
-                             "1=force, 0=off, -1=auto (on except CPU)")
+                        help="fused Pallas tail kernel engine (fsrgan/srgan "
+                             "4x): 1=force, 0=off, -1=auto (on except CPU). "
+                             "Uses a fixed 124/120 tile geometry; "
+                             "--tile/--tile_overlap/--stitch are not used "
+                             "by this engine (a notice is printed if 1 "
+                             "cannot be honored)")
     parser.add_argument("--verbose", default=0, type=int)
     return parser
 

@@ -50,11 +50,11 @@ class _ModelAPI:
         self.lr_shape = [lr, lr, 3]
 
         rng = jax.random.key(seed)
-        gen_rng, disc_rng = jax.random.split(rng)
+        gen_rng, disc_rng, drop_rng = jax.random.split(rng, 3)
         x_lr = jnp.zeros((1, *self.lr_shape), jnp.float32)
         x_hr = jnp.zeros((1, *self.hr_shape), jnp.float32)
         self.gen_variables = self.generator.init(
-            {"params": gen_rng, "dropout": gen_rng}, x_lr, train=False)
+            {"params": gen_rng, "dropout": drop_rng}, x_lr, train=False)
         if self.bundle.conditional_disc:
             self.disc_variables = self.discriminator.init(
                 disc_rng, x_hr, x_hr, train=False)
@@ -69,16 +69,26 @@ class _ModelAPI:
 
     # --- forward helpers ---------------------------------------------
     def generate(self, x: jax.Array, train: bool = False) -> jax.Array:
-        return self.generator.apply(
-            self.gen_variables, x, train=train,
-            rngs={"dropout": jax.random.key(0)} if train else None)
+        if train:
+            # BatchNorm families need mutable batch_stats under train=True;
+            # this convenience forward discards the updates (ADVICE.md r2)
+            out, _ = self.generator.apply(
+                self.gen_variables, x, train=True,
+                rngs={"dropout": jax.random.key(0)},
+                mutable=["batch_stats"])
+            return out
+        return self.generator.apply(self.gen_variables, x, train=False)
 
     def discriminate(self, x: jax.Array, y: Any = None,
                      train: bool = False) -> jax.Array:
-        if self.bundle.conditional_disc:
-            return self.discriminator.apply(
-                self.disc_variables, x, y, train=train)
-        return self.discriminator.apply(self.disc_variables, x, train=train)
+        args = (x, y) if self.bundle.conditional_disc else (x,)
+        if train:
+            out, _ = self.discriminator.apply(
+                self.disc_variables, *args, train=True,
+                mutable=["batch_stats"])
+            return out
+        return self.discriminator.apply(self.disc_variables, *args,
+                                        train=False)
 
 
 class Autoencoder(_ModelAPI):

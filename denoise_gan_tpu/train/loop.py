@@ -154,124 +154,131 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
     vgg_params = init_vgg_params()
 
     manager = CheckpointManager(ckpt_dir, max_to_keep=cfg.max_to_keep)
-    if cfg.retrain and manager.latest_step() is not None:
-        print("Restoring checkpoint from here:", ckpt_dir)
-        state = manager.restore(state)
-    elif cfg.retrain:
-        # Warm start from a prior run's exports when no Orbax checkpoint
-        # exists — the reference reloads models/{name}.h5 (+ the
-        # discriminator .h5) on --retrain (/root/reference/autoencoder.py:141-146,
-        # 206-213).  Step/opt state start fresh, like the reference.
-        state = warm_start_from_exports(state, cfg.model_name)
-
-    step_fn = jit_train_step(build_train_step(bundle, cfg),
-                             mesh if use_mesh else None)
-    summary_fn = build_summary_fn(bundle, cfg)
-    rng = jax.random.key(cfg.seed + 1)
-    timer = StepTimer(cfg.batch_size)
-
-    # Preemption handling: checkpoint at the next log point on SIGTERM
-    # (elastic-recovery hook the reference lacks, SURVEY.md §5).
-    preempted = {"flag": False}
-
-    def _on_sigterm(signum, frame):
-        preempted["flag"] = True
-
+    # try/finally so pending ASYNC Orbax saves are awaited and
+    # their errors surfaced on every exit path, and the summary
+    # writer is flushed even when the epoch loop raises (ADVICE r2)
     try:
-        signal.signal(signal.SIGTERM, _on_sigterm)
-    except ValueError:
-        pass  # not on the main thread (e.g. under some test runners)
+        if cfg.retrain and manager.latest_step() is not None:
+            print("Restoring checkpoint from here:", ckpt_dir)
+            state = manager.restore(state)
+        elif cfg.retrain:
+            # Warm start from a prior run's exports when no Orbax checkpoint
+            # exists — the reference reloads models/{name}.h5 (+ the
+            # discriminator .h5) on --retrain (/root/reference/autoencoder.py:141-146,
+            # 206-213).  Step/opt state start fresh, like the reference.
+            state = warm_start_from_exports(state, cfg.model_name)
 
-    metrics = {}
-    # Host-side step counter: pulling int(state.step) every step would sync
-    # the device and cap the dispatch queue at depth 1 (VERDICT r1); the
-    # device counter is only read at checkpoint/epoch boundaries.
-    it = int(state.step)
-    epoch0 = int(state.epoch)
-    for epoch in range(cfg.epochs):
-        state = state.replace(epoch=state.epoch + 1)
-        print(f"|== Starting epoch: {epoch0 + epoch + 1}, ", end="", flush=True)
-        train_begin = time.time()
-        last_batch = None
-        profile_this_epoch = bool(cfg.profile_dir) and epoch == min(
-            1, cfg.epochs - 1)  # profile a post-compile epoch
-        with trace(cfg.profile_dir if profile_this_epoch else None):
-            for hr in pipeline.epoch():
-                hr = jnp.asarray(hr)
-                if use_mesh:
-                    hr = shard_batch(hr, mesh)
-                last_batch = hr
-                state, metrics = step_fn(state, vgg_params, hr, rng)
-                timer.tick()
-                it += 1
-                if preempted["flag"]:
-                    print(f"\nSIGTERM: checkpointing at step {it} and exiting")
-                    manager.save(it, state)
-                    writer.close()
-                    manager.close()
-                    return state
-                if it % cfg.save_iter != 0:
-                    continue
-                host_metrics = {k: float(metrics[k]) for k in SCALAR_KEYS
-                                if k in metrics}
-                if cfg.check_numerics:
-                    check_finite(host_metrics, it)
-                writer.scalars(
-                    {f"Generator Losses/{k}": v
-                     for k, v in host_metrics.items()
-                     if k not in ("disc_loss", "psnr", "ssim")}, it)
-                writer.scalar("Discriminator Losses/disc_loss",
-                              host_metrics["disc_loss"], it)
-                writer.scalar("Quality/psnr", host_metrics["psnr"], it)
-                if last_batch is not None:
-                    panels, ssim_val = summary_fn(
-                        state.gen.params, state.gen.batch_stats, last_batch)
-                    writer.scalar("Quality/ssim", float(ssim_val), it)
-                    if cfg.log_images:
-                        for tag, img in panels.items():
-                            writer.image(tag, np.asarray(img), it)
-                writer.flush()
-        jax.block_until_ready(metrics)
-        train_time = time.time() - train_begin
+        step_fn = jit_train_step(build_train_step(bundle, cfg),
+                                 mesh if use_mesh else None)
+        summary_fn = build_summary_fn(bundle, cfg)
+        rng = jax.random.key(cfg.seed + 1)
+        timer = StepTimer(cfg.batch_size)
 
-        if cfg.ckpt and epoch % cfg.ckpt_every_epochs == 0:
+        # Preemption handling: checkpoint at the next log point on SIGTERM
+        # (elastic-recovery hook the reference lacks, SURVEY.md §5).
+        preempted = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            pass  # not on the main thread (e.g. under some test runners)
+
+        metrics = {}
+        # Host-side step counter: pulling int(state.step) every step would sync
+        # the device and cap the dispatch queue at depth 1 (VERDICT r1); the
+        # device counter is only read at checkpoint/epoch boundaries.
+        it = int(state.step)
+        epoch0 = int(state.epoch)
+        for epoch in range(cfg.epochs):
+            state = state.replace(epoch=state.epoch + 1)
+            print(f"|== Starting epoch: {epoch0 + epoch + 1}, ", end="", flush=True)
+            train_begin = time.time()
+            last_batch = None
+            profile_this_epoch = bool(cfg.profile_dir) and epoch == min(
+                1, cfg.epochs - 1)  # profile a post-compile epoch
+            with trace(cfg.profile_dir if profile_this_epoch else None):
+                for hr in pipeline.epoch():
+                    hr = jnp.asarray(hr)
+                    if use_mesh:
+                        hr = shard_batch(hr, mesh)
+                    last_batch = hr
+                    state, metrics = step_fn(state, vgg_params, hr, rng)
+                    timer.tick()
+                    it += 1
+                    if preempted["flag"]:
+                        print(f"\nSIGTERM: checkpointing at step {it} and exiting")
+                        manager.save(it, state)
+                        return state
+                    if it % cfg.save_iter != 0:
+                        continue
+                    host_metrics = {k: float(metrics[k]) for k in SCALAR_KEYS
+                                    if k in metrics}
+                    if cfg.check_numerics:
+                        check_finite(host_metrics, it)
+                    writer.scalars(
+                        {f"Generator Losses/{k}": v
+                         for k, v in host_metrics.items()
+                         if k not in ("disc_loss", "psnr", "ssim")}, it)
+                    writer.scalar("Discriminator Losses/disc_loss",
+                                  host_metrics["disc_loss"], it)
+                    writer.scalar("Quality/psnr", host_metrics["psnr"], it)
+                    if last_batch is not None:
+                        panels, ssim_val = summary_fn(
+                            state.gen.params, state.gen.batch_stats, last_batch)
+                        writer.scalar("Quality/ssim", float(ssim_val), it)
+                        if cfg.log_images:
+                            for tag, img in panels.items():
+                                writer.image(tag, np.asarray(img), it)
+                    writer.flush()
+            jax.block_until_ready(metrics)
+            train_time = time.time() - train_begin
+
+            if cfg.ckpt and epoch % cfg.ckpt_every_epochs == 0:
+                manager.save(it, state)
+            total_time = time.time() - train_begin
+            sps = steps_per_epoch / max(train_time, 1e-9)
+            print(
+                f"disc_loss: {float(metrics['disc_loss']):.2e}, "
+                f"adv_loss: {float(metrics['adv_loss']):.2e}, "
+                f"vgg: {float(metrics['content_loss']):.2e}, "
+                f"mse: {float(metrics['mse_loss']):.2e}, "
+                f"mae: {float(metrics['mae_loss']):.2e}, "
+                f"psnr: {float(metrics['psnr']):.2f}, "
+                f"iters: {it}, train: {train_time:0.2f}, "
+                f"total: {total_time:0.2f}, steps/s: {sps:0.2f}, "
+                # compile-excluded run rate (StepTimer, cumulative across
+                # epochs) alongside the per-epoch wall-clock rate
+                f"run steps/s: {timer.steps_per_sec:0.2f}, "
+                f"imgs/s: {timer.images_per_sec:0.1f} ==|")
+
+        # Final checkpoint so resume continues from the last step (the reference
+        # only checkpointed every 5 epochs and lost the trailing epochs; pix2pix
+        # alone saved at exit, /root/reference/train_pix2pix.py:193)
+        if cfg.ckpt:
             manager.save(it, state)
-        total_time = time.time() - train_begin
-        sps = steps_per_epoch / max(train_time, 1e-9)
-        print(
-            f"disc_loss: {float(metrics['disc_loss']):.2e}, "
-            f"adv_loss: {float(metrics['adv_loss']):.2e}, "
-            f"vgg: {float(metrics['content_loss']):.2e}, "
-            f"mse: {float(metrics['mse_loss']):.2e}, "
-            f"mae: {float(metrics['mae_loss']):.2e}, "
-            f"psnr: {float(metrics['psnr']):.2f}, "
-            f"iters: {it}, train: {train_time:0.2f}, "
-            f"total: {total_time:0.2f}, steps/s: {sps:0.2f} ==|")
 
-    # Final checkpoint so resume continues from the last step (the reference
-    # only checkpointed every 5 epochs and lost the trailing epochs; pix2pix
-    # alone saved at exit, /root/reference/train_pix2pix.py:193)
-    if cfg.ckpt:
-        manager.save(it, state)
-
-    # Final exports (the reference's final .h5 saves,
-    # /root/reference/train_srgan.py:256-259)
-    if cfg.save_model:
-        short = time.strftime("%m%d_%H%M")
-        export_generator(get_path("models", f"{cfg.model_name}.dgt"),
-                         family, cfg.scale, state.gen.params,
-                         state.gen.batch_stats)
-        export_generator(os.path.join(backup_dir,
-                                      f"{cfg.model_name}_{short}.dgt"),
-                         family, cfg.scale, state.gen.params,
-                         state.gen.batch_stats)
-        # Discriminator export enables --retrain warm starts (the reference
-        # also saved discriminator .h5s, /root/reference/train_srgan.py:256-259).
-        export_net(get_path("models", f"{cfg.model_name}_disc.dgt"),
-                   family, cfg.scale, state.disc.params,
-                   state.disc.batch_stats, role="discriminator")
-    writer.close()
-    manager.close()
+        # Final exports (the reference's final .h5 saves,
+        # /root/reference/train_srgan.py:256-259)
+        if cfg.save_model:
+            short = time.strftime("%m%d_%H%M")
+            export_generator(get_path("models", f"{cfg.model_name}.dgt"),
+                             family, cfg.scale, state.gen.params,
+                             state.gen.batch_stats)
+            export_generator(os.path.join(backup_dir,
+                                          f"{cfg.model_name}_{short}.dgt"),
+                             family, cfg.scale, state.gen.params,
+                             state.gen.batch_stats)
+            # Discriminator export enables --retrain warm starts (the reference
+            # also saved discriminator .h5s, /root/reference/train_srgan.py:256-259).
+            export_net(get_path("models", f"{cfg.model_name}_disc.dgt"),
+                       family, cfg.scale, state.disc.params,
+                       state.disc.batch_stats, role="discriminator")
+    finally:
+        writer.close()
+        manager.close()
     return state
 
 

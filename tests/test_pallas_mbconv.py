@@ -8,7 +8,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import denoise_gan_tpu.ops.pallas.mbconv as mbconv
+import importlib.util as _ilu
+import os
+_spec = _ilu.spec_from_file_location(
+    "exp_mbconv_kernel",
+    os.path.join(os.path.dirname(__file__), "..", "tools",
+                 "exp_mbconv_kernel.py"))
+mbconv = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(mbconv)
 from denoise_gan_tpu.models.fsrgan import FSRGANBody
 
 

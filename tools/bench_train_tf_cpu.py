@@ -248,7 +248,15 @@ def build_pix2pix_discriminator():
 # --------------------------------------------------------------------------
 # train steps
 
-def make_step(family: str):
+def make_step(family: str, return_gen: bool = False):
+    """Build (step_fn, lr_divisor[, generator]) for a reference family.
+
+    return_gen=True additionally returns the generator model (used by
+    tools/h2h_tf_reference.py to save/eval the trained weights)."""
+
+    def _ret(step, lr_div, gen):
+        return (step, lr_div, gen) if return_gen else (step, lr_div)
+
     vgg = build_vgg()
     content = content_loss_fn(vgg)
     mae = keras.losses.MeanAbsoluteError()
@@ -283,7 +291,7 @@ def make_step(family: str):
             return gen_loss, disc_loss
 
         lr_div = 4 if family in ("srgan", "fsrgan") else 1
-        return step, lr_div
+        return _ret(step, lr_div, gen)
 
     if family == "autoencoder":
         gen = build_autoencoder_generator()
@@ -310,7 +318,7 @@ def make_step(family: str):
             disc_opt.apply_gradients(zip(dg, disc.trainable_variables))
             return gen_loss, disc_loss
 
-        return step, 1
+        return _ret(step, 1, gen)
 
     if family == "pix2pix":
         gen = build_pix2pix_generator()
@@ -340,7 +348,7 @@ def make_step(family: str):
             disc_opt.apply_gradients(zip(dg, disc.trainable_variables))
             return gen_loss, disc_loss
 
-        return step, 1
+        return _ret(step, 1, gen)
 
     raise ValueError(family)
 

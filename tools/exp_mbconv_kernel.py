@@ -1,5 +1,11 @@
 """Pallas TPU kernel: fused MobileNetV2 inverted-residual block (inference).
 
+EXPERIMENTAL / documented negative result (PERF.md roadmap item 1): correct
+on TPU and in interpret mode, but slower end-to-end than the XLA body (the
+Mosaic depthwise is VMEM-port-bound, tools/exp_dw_forms.py), so production
+never imports it — it lives in tools/ as the probe backing the body floor
+analysis (VERDICT r2 weak #7).  Covered by tests/test_pallas_mbconv.py.
+
 The FSRGAN body is 6 inverted residuals at 32 channels
 (/root/reference/fsrgan.py:112-176).  Under XLA each block materializes its
 192-channel expanded activations to HBM three times (expand out, depthwise
