@@ -32,9 +32,22 @@ SPACE_AXIS = "space"
 def init_distributed() -> None:
     """Initialize JAX's multi-host runtime when launched under a cluster
     (no-op single-host).  TPU-native replacement for the reference's absent
-    NCCL/MPI layer (SURVEY.md §2 C20)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    NCCL/MPI layer (SURVEY.md §2 C20).
+
+    Cluster shape comes from ``JAX_COORDINATOR_ADDRESS`` plus (optionally)
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` — explicit values cover
+    launchers jax's auto-detection doesn't know (e.g. the 2-process
+    localhost dryrun, tools/dryrun_multihost.py); on TPU pods the two
+    counts are auto-detected when unset."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(num_devices: int = 0, space: int = 1,

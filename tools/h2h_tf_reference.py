@@ -150,8 +150,8 @@ def train_tf(args) -> None:
     med = float(np.median(rates)) if rates else 0.0
     stats = dict(family=args.family, steps=steps, batch=bs, crop=crop,
                  steps_per_s_median=round(med, 4),
-                 steps_per_s_min=round(float(np.min(rates)), 4),
-                 steps_per_s_max=round(float(np.max(rates)), 4),
+                 steps_per_s_min=round(float(np.min(rates)) if rates else 0., 4),
+                 steps_per_s_max=round(float(np.max(rates)) if rates else 0., 4),
                  imgs_per_s_median=round(med * bs, 4))
     with open(os.path.join(args.out_dir,
                            f"tfstats_{args.family}.json"), "w") as f:
