@@ -77,3 +77,32 @@ def test_video_cli_scoring(small_video, ae_export, tmp_path, capsys):
           "--max_frames", "2", "--score", "1", "--tile", "0", "--fast", "0"])
     outtxt = capsys.readouterr().out
     assert "psnr=" in outtxt and "ssim=" in outtxt
+    assert "(2 frames scored)" in outtxt
+
+
+def test_video_cli_engine_print_and_score_every(small_video, ae_export,
+                                                capsys):
+    """The selected engine is announced (VERDICT r2 #4) and --score_every
+    subsamples the scored frames."""
+    from denoise_gan_tpu.infer.video import main
+
+    main(["--input_video", small_video, "--model", ae_export,
+          "--max_frames", "4", "--score", "1", "--score_every", "2",
+          "--tile", "0", "--fast", "0"])
+    outtxt = capsys.readouterr().out
+    assert "engine: whole-frame" in outtxt
+    assert "scoring every 2th frame" in outtxt
+    assert "(2 frames scored)" in outtxt
+
+
+def test_video_cli_kernel_tail_notice(small_video, ae_export, capsys):
+    """--kernel_tail 1 on a family/backend without a kernel path prints a
+    notice instead of silently ignoring the flag (ADVICE r2 #1)."""
+    from denoise_gan_tpu.infer.video import main
+
+    main(["--input_video", small_video, "--model", ae_export,
+          "--max_frames", "1", "--score", "0", "--tile", "32",
+          "--tile_overlap", "8", "--fast", "1", "--kernel_tail", "1"])
+    outtxt = capsys.readouterr().out
+    assert "--kernel_tail 1 ignored" in outtxt
+    assert "engine: xla-crop" in outtxt
