@@ -73,7 +73,8 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
                         out_uint8: bool = True, flat_channels: bool = True,
                         interpret: bool = False,
                         plan: tuple[int, int, int] | None = None,
-                        tail_builders=None, jit_compile: bool = True):
+                        tail_builders=None, jit_compile: bool = True,
+                        q8_calib=None):
     """body_apply: (N, TR, T, 3) [-1,1] -> (N, TR, T, 32) bf16 body features.
     Returns fn(frame01 (H, W, 3)) ->
     * out_uint8 (default): the kernel's raw (ny*CR, 4, nx, CORE, 12) uint8
@@ -96,12 +97,13 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
 
     mk_canvas, mk_u8 = tail_builders or (build_fused_tail,
                                          build_fused_tail_u8)
+    qkw = {} if q8_calib is None else {"q8_calib": q8_calib}
     if u8_path:
         fused = mk_u8(tail_params, ny, nx, brc=brc, core_rows=cr, prep=prep,
-                      interpret=interpret, flat=False)
+                      interpret=interpret, flat=False, **qkw)
     else:
         fused = mk_canvas(tail_params, ny, nx, brc=brc, core_rows=cr,
-                          prep=prep, interpret=interpret)
+                          prep=prep, interpret=interpret, **qkw)
 
     if not jit_compile:
         # raw (untraced) fn, e.g. for wrapping in shard_map — the caller
@@ -148,8 +150,12 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
                                brc: int = 45, prep: str = "conv",
                                interpret: bool = False,
                                plan: tuple[int, int, int] | None = None,
-                               **kw):
-    """Convenience: wire the FSRGAN body (XLA, bf16) to the fused tail."""
+                               q8_calib_frame=None, **kw):
+    """Convenience: wire the FSRGAN body (XLA, bf16) to the fused tail.
+
+    q8_calib_frame: an (H, W, 3) [0,1] sample frame — runs the body once on
+    its tiles and builds the w8a8 (int8 up2/final) tail calibrated on the
+    resulting activations (VERDICT r2 #1)."""
     from denoise_gan_tpu.models.fsrgan import FSRGANBody
 
     body = FSRGANBody(dtype=jnp.bfloat16)
@@ -160,9 +166,28 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
         return body.apply({"params": body_p, "batch_stats": body_s},
                           tiles, train=False)
 
+    kw2 = dict(kw)
+    if q8_calib_frame is not None:
+        kw2["q8_calib"] = _body_sample(body_apply, q8_calib_frame,
+                                       height, width, brc)
     return build_kernel_engine(body_apply, params["tail"], height, width,
                                brc=brc, prep=prep, interpret=interpret,
-                               plan=plan, **kw)
+                               plan=plan, **kw2)
+
+
+def _body_sample(body_apply, frame01, height, width, brc,
+                 max_tiles: int = 16):
+    """Body activations on a sample frame's first `max_tiles` tiles — the
+    calibration input for the w8a8 tail."""
+    ny, nx, cr = plan_grid(height, width, brc)
+    m0, tr = 2, cr + 4
+    pad_h = (ny - 1) * cr + tr
+    pad_w = (nx - 1) * CORE + T
+    x = (jnp.asarray(frame01) * 2.0 - 1.0).astype(jnp.bfloat16)
+    x = jnp.pad(x, ((m0, pad_h - height - m0),
+                    (m0, pad_w - width - m0), (0, 0)), mode="edge")
+    tiles = extract_grid(x, ny, nx, (tr, T), (cr, CORE))[:max_tiles]
+    return jax.jit(body_apply)(tiles)
 
 
 def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,

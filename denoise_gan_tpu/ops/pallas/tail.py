@@ -138,6 +138,57 @@ def prep_weights(tail_params: Any) -> dict[str, np.ndarray]:
     )
 
 
+def prep_weights_q8(weights: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Extend prep_weights() output with w8 forms of the up2/final matmuls
+    (VERDICT r2 #1): symmetric per-output-channel int8 weights + f32 scales.
+    up1 stays bf16 (its operand feeds f32 lane rolls; quantizing it buys
+    ~1 ms at best and complicates the h3 DMA contract)."""
+    out = dict(weights)
+    W2p = weights["W2p"]                                   # (2,2,384,128)
+    s2 = np.abs(W2p).max(axis=2, keepdims=True) / 127.0 + 1e-12
+    out["W2q"] = np.clip(np.round(W2p / s2), -127, 127).astype(np.int8)
+    out["s2n"] = s2.reshape(2, 2, 1, 128).transpose(0, 1, 3, 2)  # (2,2,128,1)
+    W3p = weights["W3p"]                                   # (1152, 48)
+    s3 = np.abs(W3p).max(axis=0, keepdims=True) / 127.0 + 1e-12
+    out["W3q"] = np.clip(np.round(W3p / s3), -127, 127).astype(np.int8)
+    out["s3n"] = s3.reshape(1, 48)
+    return out
+
+
+def calibrate_tail_scales(tail_params: Any, h_sample: jax.Array,
+                          margin: float = 1.0) -> tuple[float, float]:
+    """Static activation scales for the w8a8 tail: run the plain tail math
+    (pre-depth_to_space channel layout — elementwise-equivalent to the
+    kernel's phase buffers) on a sample of body-output tiles and take
+    max|up1_prelu| and max|up2_prelu|.  Returns (su1, sr) — the int8 step
+    sizes.  Saturating clip in the kernel covers anything beyond the
+    calibration max."""
+    up1 = tail_params["up1"]
+    up2 = tail_params["up2"]
+    W1 = jnp.asarray(up1["Conv_0"]["kernel"], jnp.float32)
+    b1 = jnp.asarray(up1["Conv_0"]["bias"], jnp.float32)
+    a1 = jnp.tile(jnp.asarray(up1["PReLU_0"]["alpha"], jnp.float32), 4)
+    W2 = jnp.asarray(up2["Conv_0"]["kernel"], jnp.float32)
+    b2 = jnp.asarray(up2["Conv_0"]["bias"], jnp.float32)
+    a2 = jnp.tile(jnp.asarray(up2["PReLU_0"]["alpha"], jnp.float32), 4)
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    x = jnp.asarray(h_sample, jnp.float32)
+    c1 = conv(x, W1) + b1
+    u1 = jnp.where(c1 >= 0, c1, a1 * c1)
+    from denoise_gan_tpu.ops.image import depth_to_space
+    d1 = depth_to_space(u1, 2)
+    c2 = conv(d1, W2) + b2
+    r = jnp.where(c2 >= 0, c2, a2 * c2)
+    su1 = float(jnp.max(jnp.abs(u1))) * margin / 127.0
+    sr = float(jnp.max(jnp.abs(r))) * margin / 127.0
+    return max(su1, 1e-9), max(sr, 1e-9)
+
+
 # ---------------------------------------------------------------------------
 # XLA-side input prep
 
@@ -179,17 +230,36 @@ def _dot_kn(w, x):
 
 
 def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
-                 w3_ref, b3_ref, seo_ref, out_ref,
-                 h3x2, hroll, x1, u1, u1r, x2, r_buf, x3, sems,
+                 w3_ref, b3_ref, seo_ref, *rest,
                  brc: int, core_rows: int, n_tiles: int, u8_out: bool,
-                 stage: int = 5):
+                 stage: int = 5, q8: bool = False,
+                 inv_su1: float = 0.0, inv_sr: float = 0.0):
     """Grid = (tiles, row bands); the out block is per BAND (a whole-tile u8
     block would pay the 12->128 lane pad x2 in VMEM: 16.6MB at 1080p).  The
     h3 tile DMA runs at band 0 and is double-buffered across tiles.
 
     Lane conventions (within each 128-lane row chunk):
       h: lane = col + 1 (cols [-1, 127));  U1: lane = col (cols [0, 124));
-      U2/R_e/X3: lane = col + 1;  output: lane = col + 1 -> real [3:123)."""
+      U2/R_e/X3: lane = col + 1;  output: lane = col + 1 -> real [3:123).
+
+    q8=True (VERDICT r2 #1): the up2 and final dots run w8a8 on the int8
+    MXU — U1/R activations are quantized with static calibrated scales
+    (calibrate_tail_scales), weights per-output-channel (prep_weights_q8);
+    dequant scale products are folded into the existing bias/PReLU
+    epilogues.  up1 and the u8 epilogue stay bf16/f32.  pltpu.roll needs
+    32-bit data, so rolled operands are rolled in f32 then quantized."""
+    if q8:
+        w2q_ref, s2_ref, w3q_ref, s3_ref = rest[0:4]
+        out_ref = rest[4]
+        h3x2, hroll, x1, u1, u1qr, x2q, r_buf, rq, x3q, sems = rest[5:]
+        assert stage >= 5, "q8 supports the production stage only"
+    else:
+        out_ref = rest[0]
+        h3x2, hroll, x1, u1, u1r, x2, r_buf, x3, sems = rest[1:]
+
+    def quant(v):
+        return jnp.clip(jnp.round(v), -127.0, 127.0).astype(jnp.int8)
+
     m1 = (brc + 4) * 128
     m2 = (brc + 2) * 128
     m3 = brc * 128
@@ -237,7 +307,11 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
         out_ref[:, 0] = (u1[0:brc, 0:128][:, :, None]
                          + jnp.zeros((brc, 128, 48), jnp.float32)
                          ).astype(jnp.bfloat16)
-    if stage >= 2:
+    if stage >= 2 and q8:
+        u1qr[0] = quant(u1[:] * inv_su1)
+        u1qr[1] = quant(pltpu.roll(u1[:], 1, 1) * inv_su1)
+        u1qr[2] = quant(pltpu.roll(u1[:], 2, 1) * inv_su1)
+    elif stage >= 2:
         # up2 column taps: X2[l=j+1] = U1[lane j+cx] = U1[l + cx - 1];
         # shifts cx-1 in {-2,-1,0}: roll(x, k): out[l] = in[l-k]
         u1r[0] = pltpu.roll(u1[:], 1, 1).astype(jnp.bfloat16)
@@ -258,7 +332,10 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                     blk = (a_src * 2 + b_src) * CIN
                     off = (cyu + 1) * 128
                     k0 = (du_idx * 4 + l) * CIN
-                    if cxu == 1:        # shift 0: U1 direct
+                    if q8:
+                        x2q[k0:k0 + CIN, :] = \
+                            u1qr[1 - cxu, blk:blk + CIN, off:off + m2]
+                    elif cxu == 1:      # shift 0: U1 direct
                         x2[k0:k0 + CIN, :] = \
                             u1[blk:blk + CIN,
                                off:off + m2].astype(jnp.bfloat16)
@@ -266,9 +343,18 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                         x2[k0:k0 + CIN, :] = u1r[-cxu, blk:blk + CIN,
                                                  off:off + m2]
             for a2i in range(2):
-                v2 = _dot_kn(w2_ref[a, a2i], x2[:]) + b2_ref[a2i]
-                r_buf[2 * a + a2i] = jnp.where(
-                    v2 >= 0, v2, a2_ref[:] * v2).astype(jnp.bfloat16)
+                if q8:
+                    v32 = jax.lax.dot_general(
+                        w2q_ref[a, a2i], x2q[:], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    v2 = v32.astype(jnp.float32) * s2_ref[a, a2i] \
+                        + b2_ref[a2i]
+                else:
+                    v2 = _dot_kn(w2_ref[a, a2i], x2[:]) + b2_ref[a2i]
+                vp = jnp.where(v2 >= 0, v2, a2_ref[:] * v2)
+                r_buf[2 * a + a2i] = vp.astype(jnp.bfloat16)
+                if q8:
+                    rq[2 * a + a2i] = quant(vp * inv_sr)
     if stage == 3:
         out_ref[:, 0] = (r_buf[0, 0:brc, 0:128].astype(jnp.float32)[:, :, None]
                          + jnp.zeros((brc, 128, 48), jnp.float32)
@@ -281,6 +367,16 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
             for kap in range(-1, 5):
                 f, cxf = kap & 3, (kap - (kap & 3)) // 4
                 k0 = ((rho + 1) * 6 + (kap + 1)) * CIN
+                if q8:
+                    if cxf:
+                        src = pltpu.roll(
+                            r_buf[e, f * CIN:(f + 1) * CIN, off:off + m3]
+                            .astype(jnp.float32), (-cxf) % m3, 1)
+                        x3q[k0:k0 + CIN, :] = quant(src * inv_sr)
+                    else:
+                        x3q[k0:k0 + CIN, :] = \
+                            rq[e, f * CIN:(f + 1) * CIN, off:off + m3]
+                    continue
                 src = r_buf[e, f * CIN:(f + 1) * CIN, off:off + m3]
                 if cxf:
                     # bf16 rotates are rejected; roll in f32
@@ -292,9 +388,15 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                          + jnp.zeros((brc, 128, 48), jnp.float32)
                          ).astype(jnp.bfloat16)
     if stage >= 5:
-        res = jax.lax.dot_general(
-            x3[:], w3_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (M3, 48)
+        if q8:
+            r32 = jax.lax.dot_general(
+                x3q[:], w3q_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)          # (M3, 48)
+            res = r32.astype(jnp.float32) * s3_ref[:]
+        else:
+            res = jax.lax.dot_general(
+                x3[:], w3_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (M3, 48)
         res = jnp.tanh(res + b3_ref[:])
         if not u8_out:
             out_ref[:, 0] = res.astype(jnp.bfloat16).reshape(brc, 128, 48)
@@ -316,13 +418,17 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
 def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
                     brc: int = 8, core_rows: int = CORE,
                     u8_out: bool = False, interpret: bool = False,
-                    stage: int = 5):
+                    stage: int = 5,
+                    q8_scales: tuple[float, float] | None = None):
     """Returns fn(h3 (N, 32, (core_rows+10)*128) bf16) ->
     * u8_out=False: canvas (ny*core_rows, nx, 128, 48) bf16 (real cols at
       lane [3:123) of each chunk)
     * u8_out=True:  (ny*core_rows, 4, nx, 120, 12) uint8 — reshapes for free
-      to the flat (ny*core_rows*4, nx*120*12) byte layout."""
+      to the flat (ny*core_rows*4, nx*120*12) byte layout.
+    q8_scales=(su1, sr) (calibrate_tail_scales) switches the up2/final dots
+    to w8a8 int8 (weights from prep_weights_q8)."""
     assert core_rows % brc == 0
+    q8 = q8_scales is not None
     n_tiles = ny * nx
     tr = core_rows + 4
     m1, m2, m3 = (brc + 4) * 128, (brc + 2) * 128, brc * 128
@@ -336,9 +442,19 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
     w3 = jnp.asarray(weights["W3p"], jnp.bfloat16)
     b3 = jnp.asarray(weights["b3"], jnp.float32)
     seo = jnp.asarray(weights["Seo"], jnp.bfloat16)
+    q_in = []
+    inv_su1 = inv_sr = 0.0
+    if q8:
+        su1, sr = q8_scales
+        inv_su1, inv_sr = 1.0 / su1, 1.0 / sr
+        q_in = [jnp.asarray(weights["W2q"], jnp.int8),
+                jnp.asarray(weights["s2n"] * su1, jnp.float32),
+                jnp.asarray(weights["W3q"], jnp.int8),
+                jnp.asarray(weights["s3n"] * sr, jnp.float32)]
 
     kernel = functools.partial(_tail_kernel, brc=brc, core_rows=core_rows,
-                               n_tiles=n_tiles, u8_out=u8_out, stage=stage)
+                               n_tiles=n_tiles, u8_out=u8_out, stage=stage,
+                               q8=q8, inv_su1=inv_su1, inv_sr=inv_sr)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),    # h3 stays in HBM; manual DMA
@@ -351,7 +467,7 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # W3p
         pl.BlockSpec(memory_space=pltpu.VMEM),   # b3
         pl.BlockSpec(memory_space=pltpu.VMEM),   # Seo
-    ]
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(q_in)
     bands = core_rows // brc
     if u8_out:
         out_spec = pl.BlockSpec(
@@ -370,13 +486,21 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
         out_shape = jax.ShapeDtypeStruct((ny * core_rows, nx, 128, 48),
                                          jnp.bfloat16)
 
-    call = pl.pallas_call(
-        kernel,
-        grid=(n_tiles, bands),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=out_shape,
-        scratch_shapes=[
+    if q8:
+        scratches = [
+            pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h3 x2
+            pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h rolled
+            pltpu.VMEM((9 * CIN, m1), jnp.bfloat16),       # X1
+            pltpu.VMEM((128, m1), jnp.float32),            # U1
+            pltpu.VMEM((3, 128, m1), jnp.int8),            # U1 quant x3
+            pltpu.VMEM((12 * CIN, m2), jnp.int8),          # X2 quant
+            pltpu.VMEM((4, 128, m2), jnp.bfloat16),        # R_e
+            pltpu.VMEM((4, 128, m2), jnp.int8),            # R_e quant
+            pltpu.VMEM((36 * CIN, m3), jnp.int8),          # X3 quant
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratches = [
             pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h3 x2
             pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h rolled
             pltpu.VMEM((9 * CIN, m1), jnp.bfloat16),       # X1
@@ -386,29 +510,45 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
             pltpu.VMEM((4, 128, m2), jnp.bfloat16),        # R_e
             pltpu.VMEM((36 * CIN, m3), jnp.bfloat16),      # X3
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, bands),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratches,
         compiler_params=None if interpret else pltpu.CompilerParams(
             # 24MB fits brc<=15 at the production geometry; larger bands
             # need more scoped VMEM (v5e has 128MB physical)
-            vmem_limit_bytes=max(24, 2 * brc) * 1024 * 1024),
+            vmem_limit_bytes=max(24, 2 * brc + (8 if q8 else 0))
+            * 1024 * 1024),
         interpret=interpret,
     )
 
     def run(h3):
-        return call(h3, w1, b1, a1, w2, b2, a2, w3, b3, seo)
+        return call(h3, w1, b1, a1, w2, b2, a2, w3, b3, seo, *q_in)
 
     return run
 
 
+def _q8_setup(tail_params, weights, q8_calib):
+    if q8_calib is None:
+        return weights, None
+    return prep_weights_q8(weights), calibrate_tail_scales(tail_params,
+                                                           q8_calib)
+
+
 def build_fused_tail(tail_params: Any, ny: int, nx: int, brc: int = 8,
                      core_rows: int = CORE, interpret: bool = False,
-                     prep: str = "transpose"):
+                     prep: str = "transpose", q8_calib=None):
     """fn(h_tiles (ny*nx, core_rows+4, T, 32)) ->
     (ny*core_rows, nx*CORE, 48) bf16 [-1,1] phase-canonical crop-stitched
-    canvas."""
+    canvas.  q8_calib: sample body-output tiles -> w8a8 up2/final dots."""
     weights = prep_weights(tail_params)
+    weights, q8_scales = _q8_setup(tail_params, weights, q8_calib)
     call = build_tail_call(weights, ny, nx, brc, core_rows,
-                           interpret=interpret)
+                           interpret=interpret, q8_scales=q8_scales)
 
     def run(h_tiles):
         canvas = call(make_h3(h_tiles, prep))
@@ -419,7 +559,8 @@ def build_fused_tail(tail_params: Any, ny: int, nx: int, brc: int = 8,
 
 def build_fused_tail_u8(tail_params: Any, ny: int, nx: int, brc: int = 8,
                         core_rows: int = CORE, interpret: bool = False,
-                        prep: str = "transpose", flat: bool = True):
+                        prep: str = "transpose", flat: bool = True,
+                        q8_calib=None):
     """fn(h_tiles (ny*nx, core_rows+4, T, 32)) -> uint8 fine image bytes.
 
     flat=True: (ny*core_rows*4, nx*CORE*12) — the flat byte layout of the
@@ -435,8 +576,9 @@ def build_fused_tail_u8(tail_params: Any, ny: int, nx: int, brc: int = 8,
     a zero-copy view — the device->host transfer de-tiles either way.
     Prefer this for throughput paths (infer/kernel_engine.py)."""
     weights = prep_weights(tail_params)
+    weights, q8_scales = _q8_setup(tail_params, weights, q8_calib)
     call = build_tail_call(weights, ny, nx, brc, core_rows, u8_out=True,
-                           interpret=interpret)
+                           interpret=interpret, q8_scales=q8_scales)
 
     def run(h_tiles):
         out = call(make_h3(h_tiles, prep))
