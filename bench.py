@@ -22,6 +22,8 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     from denoise_gan_tpu.infer.kernel_engine import build_fsrgan_kernel_engine
     from denoise_gan_tpu.models import build_models
 
@@ -33,17 +35,22 @@ def main() -> None:
     variables = bundle.generator.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         x0, train=False)
-    # fused Pallas tail kernel engine (infer/kernel_engine.py): XLA body on
-    # a <=128-tile grid + up1/up2/final-conv/tanh/crop-stitch/u8 in one
-    # VMEM-resident kernel; output is the kernel's 5D uint8 whose C-order
-    # bytes ARE the (H*4, W*4*3) HWC stream (kernel_engine.flat_view is a
-    # zero-copy host flatten — the video CLI consumes it that way)
-    denoise_frame = build_fsrgan_kernel_engine(
-        variables["params"], variables.get("batch_stats", {}), H, W)
 
     rng = np.random.default_rng(0)
     frames = [jnp.asarray(rng.random((H, W, 3)), jnp.float32)
               for _ in range(2)]
+
+    # fused Pallas tail kernel engine (infer/kernel_engine.py): XLA body on
+    # a <=128-tile grid + up1/up2/final-conv/tanh/crop-stitch/u8 in one
+    # VMEM-resident kernel; output is the kernel's 5D uint8 whose C-order
+    # bytes ARE the (H*4, W*4*3) HWC stream (kernel_engine.flat_view is a
+    # zero-copy host flatten — the video CLI consumes it that way).
+    # BENCH_Q8=1 switches the tail's up2/final dots to w8a8 int8 (first
+    # frame as calibration; VERDICT r2 #1 measurement switch).
+    q8 = bool(int(os.environ.get("BENCH_Q8", "0")))
+    denoise_frame = build_fsrgan_kernel_engine(
+        variables["params"], variables.get("batch_stats", {}), H, W,
+        q8_calib_frame=frames[0] if q8 else None)
 
     # warmup / compile
     denoise_frame(frames[0]).block_until_ready()
