@@ -194,10 +194,10 @@ def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,
                               brc: int = 15, prep: str = "conv",
                               interpret: bool = False,
                               plan: tuple[int, int, int] | None = None,
-                              **kw):
+                              q8_calib_frame=None, **kw):
     """SRGAN 4x variant: 16-resblock body (XLA, bf16) + the CIN=64 fused
     tail kernel (ops/pallas/tail_srgan.py).  Same geometry and output
-    contracts as the FSRGAN engine."""
+    contracts (and q8_calib_frame option) as the FSRGAN engine."""
     from denoise_gan_tpu.models.srgan import SRGANBody
     from denoise_gan_tpu.ops.pallas import tail_srgan
 
@@ -209,8 +209,12 @@ def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,
         return body.apply({"params": body_p, "batch_stats": body_s},
                           tiles, train=False)
 
+    kw2 = dict(kw)
+    if q8_calib_frame is not None:
+        kw2["q8_calib"] = _body_sample(body_apply, q8_calib_frame,
+                                       height, width, brc)
     return build_kernel_engine(
         body_apply, params["tail"], height, width, brc=brc, prep=prep,
         interpret=interpret, plan=plan,
         tail_builders=(tail_srgan.build_fused_tail64,
-                       tail_srgan.build_fused_tail64_u8), **kw)
+                       tail_srgan.build_fused_tail64_u8), **kw2)

@@ -143,20 +143,17 @@ def process_video(args) -> dict:
             config.get("family") in ("fsrgan", "srgan")
         if use_kernel and kernel_ok:
             from denoise_gan_tpu.infer import kernel_engine
-            is_fsr = config.get("family") == "fsrgan"
             build = (kernel_engine.build_fsrgan_kernel_engine
-                     if is_fsr else kernel_engine.build_srgan_kernel_engine)
+                     if config.get("family") == "fsrgan"
+                     else kernel_engine.build_srgan_kernel_engine)
             bkw = {}
-            if args.q8 and is_fsr:
+            if args.q8:
                 # w8a8 tail (int8 up2/final dots) calibrated on the first
                 # frame (VERDICT r2 #1); quality stays inside the engine's
                 # <=1-u8-level envelope (tests/test_pallas_tail.py)
                 calib = _peek_first_frame(input_path, args.frame_start)
                 if calib is not None:
                     bkw["q8_calib_frame"] = jnp.asarray(calib)
-            elif args.q8:
-                print("note: --q8 1 ignored — w8a8 tail exists for fsrgan "
-                      "only", flush=True)
             engine = build(params, batch_stats, fh, fw, **bkw)
             engine_flat = True
             engine_kernel = True
@@ -414,9 +411,10 @@ def build_parser() -> ArgumentParser:
                              "by this engine (a notice is printed if 1 "
                              "cannot be honored)")
     parser.add_argument("--q8", default=0, type=int,
-                        help="w8a8 tail in the fused kernel engine (fsrgan "
-                             "4x): int8 up2/final matmuls calibrated on the "
-                             "first frame; <=1 u8 level vs the bf16 kernel")
+                        help="w8a8 tail in the fused kernel engine (fsrgan/"
+                             "srgan 4x): int8 up2/final matmuls calibrated "
+                             "on the first frame; <=1 u8 level vs the bf16 "
+                             "kernel")
     parser.add_argument("--verbose", default=0, type=int)
     return parser
 

@@ -34,7 +34,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from denoise_gan_tpu.ops.pallas.tail import CORE, T, make_h3
+from denoise_gan_tpu.ops.pallas.tail import (
+    CORE, T, calibrate_tail_scales, make_h3,
+)
 
 CIN = 64
 
@@ -104,6 +106,21 @@ def prep_weights_srgan(tail_params: Any) -> dict[str, np.ndarray]:
     )
 
 
+def prep_weights_srgan_q8(weights):
+    """int8 forms of the up2/final matmuls + per-output-channel scales
+    (same scheme as tail.prep_weights_q8; VERDICT r2 #1)."""
+    out = dict(weights)
+    W2p = weights["W2p"]                                   # (2,2,576,128)
+    s2 = np.abs(W2p).max(axis=2, keepdims=True) / 127.0 + 1e-12
+    out["W2q"] = np.clip(np.round(W2p / s2), -127, 127).astype(np.int8)
+    out["s2n"] = s2.reshape(2, 2, 1, 128).transpose(0, 1, 3, 2)
+    W3p = weights["W3p"]                                   # (1024, 48)
+    s3 = np.abs(W3p).max(axis=0, keepdims=True) / 127.0 + 1e-12
+    out["W3q"] = np.clip(np.round(W3p / s3), -127, 127).astype(np.int8)
+    out["s3n"] = s3.reshape(1, 48)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # kernel
 
@@ -114,13 +131,27 @@ def _dot_kn(w, x):
 
 
 def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
-                   w3_ref, b3_ref, seo_ref, out_ref,
-                   h3x2, hroll, x1, u1, u1r, x2, r_buf, x3, sems,
+                   w3_ref, b3_ref, seo_ref, *rest,
                    brc: int, core_rows: int, n_tiles: int, u8_out: bool,
-                   stage: int = 5):
+                   stage: int = 5, q8: bool = False,
+                   inv_su1: float = 0.0, inv_sr: float = 0.0):
     """Grid = (tiles, row bands); same band/DMA structure and lane
     conventions as tail.py's _tail_kernel (h: lane = col + 1; U1: lane =
-    col; R/X3: lane = col + 1; output: real cols at lane [3:123))."""
+    col; R/X3: lane = col + 1; output: real cols at lane [3:123)).
+    q8: w8a8 up2/final dots, same scheme as tail.py (the final 1x1 pack
+    has no lane rolls here, so X3 assembles from pure i8 slices)."""
+    if q8:
+        w2q_ref, s2_ref, w3q_ref, s3_ref = rest[0:4]
+        out_ref = rest[4]
+        h3x2, hroll, x1, u1, u1qr, x2q, r_buf, rq, x3q, sems = rest[5:]
+        assert stage >= 5, "q8 supports the production stage only"
+    else:
+        out_ref = rest[0]
+        h3x2, hroll, x1, u1, u1r, x2, r_buf, x3, sems = rest[1:]
+
+    def quant(v):
+        return jnp.clip(jnp.round(v), -127.0, 127.0).astype(jnp.int8)
+
     m1 = (brc + 4) * 128
     m2 = (brc + 2) * 128
     m3 = brc * 128
@@ -171,8 +202,13 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
 
     # up2 column taps: X2[l=j+1] = U1[lane j + cxu] = U1[l + cxu - 1];
     # shifts cxu-1 in {-2,-1,0}: u1r[0]=shift -1, u1r[1]=shift -2
-    u1r[0] = pltpu.roll(u1[:], 1, 1).astype(jnp.bfloat16)
-    u1r[1] = pltpu.roll(u1[:], 2, 1).astype(jnp.bfloat16)
+    if q8:
+        u1qr[0] = quant(u1[:] * inv_su1)
+        u1qr[1] = quant(pltpu.roll(u1[:], 1, 1) * inv_su1)
+        u1qr[2] = quant(pltpu.roll(u1[:], 2, 1) * inv_su1)
+    else:
+        u1r[0] = pltpu.roll(u1[:], 1, 1).astype(jnp.bfloat16)
+        u1r[1] = pltpu.roll(u1[:], 2, 1).astype(jnp.bfloat16)
     if stage == 2:
         return _probe(u1r[0].astype(jnp.float32))
 
@@ -188,7 +224,10 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                     b_src, cxu = s & 1, (s - (s & 1)) // 2
                     blk = (a_src * 2 + b_src) * CIN
                     k0 = (du * 3 + dvi) * CIN
-                    if cxu == 1:        # shift 0: U1 direct
+                    if q8:
+                        x2q[k0:k0 + CIN, :] = \
+                            u1qr[1 - cxu, blk:blk + CIN, off:off + m2]
+                    elif cxu == 1:      # shift 0: U1 direct
                         x2[k0:k0 + CIN, :] = \
                             u1[blk:blk + CIN,
                                off:off + m2].astype(jnp.bfloat16)
@@ -196,9 +235,19 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                         x2[k0:k0 + CIN, :] = u1r[-cxu, blk:blk + CIN,
                                                  off:off + m2]
             for a2i in range(2):
-                v2 = _dot_kn(w2_ref[bcol, a2i], x2[:]) + b2_ref[a2i]
-                r_buf[2 * a + a2i, bcol] = jnp.where(
-                    v2 >= 0, v2, a2_ref[:] * v2).astype(jnp.bfloat16)
+                if q8:
+                    v32 = jax.lax.dot_general(
+                        w2q_ref[bcol, a2i], x2q[:],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    v2 = v32.astype(jnp.float32) * s2_ref[bcol, a2i] \
+                        + b2_ref[a2i]
+                else:
+                    v2 = _dot_kn(w2_ref[bcol, a2i], x2[:]) + b2_ref[a2i]
+                vp = jnp.where(v2 >= 0, v2, a2_ref[:] * v2)
+                r_buf[2 * a + a2i, bcol] = vp.astype(jnp.bfloat16)
+                if q8:
+                    rq[2 * a + a2i, bcol] = quant(vp * inv_sr)
 
     if stage == 3:
         return _probe(r_buf[0, 0].astype(jnp.float32))
@@ -208,15 +257,26 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
         for fo in range(4):
             bcol, b2i = fo >> 1, fo & 1
             k0 = (eo * 4 + fo) * CIN
-            x3[k0:k0 + CIN, :] = \
-                r_buf[eo, bcol, b2i * CIN:(b2i + 1) * CIN, 128:128 + m3]
+            if q8:
+                x3q[k0:k0 + CIN, :] = \
+                    rq[eo, bcol, b2i * CIN:(b2i + 1) * CIN, 128:128 + m3]
+            else:
+                x3[k0:k0 + CIN, :] = \
+                    r_buf[eo, bcol, b2i * CIN:(b2i + 1) * CIN,
+                          128:128 + m3]
 
     if stage == 4:
         return _probe(x3[:].astype(jnp.float32))
 
-    res = jax.lax.dot_general(
-        x3[:], w3_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # (M3, 48)
+    if q8:
+        r32 = jax.lax.dot_general(
+            x3q[:], w3q_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (M3, 48)
+        res = r32.astype(jnp.float32) * s3_ref[:]
+    else:
+        res = jax.lax.dot_general(
+            x3[:], w3_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (M3, 48)
     res = jnp.tanh(res + b3_ref[:])
     if not u8_out:
         out_ref[:, 0] = res.astype(jnp.bfloat16).reshape(brc, 128, 48)
@@ -234,7 +294,8 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
 def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
                       brc: int = 15, core_rows: int = CORE,
                       u8_out: bool = False, interpret: bool = False,
-                      stage: int = 5):
+                      stage: int = 5,
+                      q8_scales: tuple[float, float] | None = None):
     """Returns fn(h3 (N, 64, (core_rows+10)*128) bf16) -> canvas
     (ny*core_rows, nx, 128, 48) bf16 or (ny*core_rows, 4, nx, 120, 12) u8
     (same contracts as tail.py's build_tail_call)."""
@@ -252,12 +313,23 @@ def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
     w3 = jnp.asarray(weights["W3p"], jnp.bfloat16)
     b3 = jnp.asarray(weights["b3"], jnp.float32)
     seo = jnp.asarray(weights["Seo"], jnp.bfloat16)
+    q8 = q8_scales is not None
+    q_in = []
+    inv_su1 = inv_sr = 0.0
+    if q8:
+        su1, sr = q8_scales
+        inv_su1, inv_sr = 1.0 / su1, 1.0 / sr
+        q_in = [jnp.asarray(weights["W2q"], jnp.int8),
+                jnp.asarray(weights["s2n"] * su1, jnp.float32),
+                jnp.asarray(weights["W3q"], jnp.int8),
+                jnp.asarray(weights["s3n"] * sr, jnp.float32)]
 
     kernel = functools.partial(_tail64_kernel, brc=brc, core_rows=core_rows,
-                               n_tiles=n_tiles, u8_out=u8_out, stage=stage)
+                               n_tiles=n_tiles, u8_out=u8_out, stage=stage,
+                               q8=q8, inv_su1=inv_su1, inv_sr=inv_sr)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + \
-        [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + len(q_in))
     bands = core_rows // brc
     if u8_out:
         out_spec = pl.BlockSpec(
@@ -276,13 +348,21 @@ def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
         out_shape = jax.ShapeDtypeStruct((ny * core_rows, nx, 128, 48),
                                          jnp.bfloat16)
 
-    call = pl.pallas_call(
-        kernel,
-        grid=(n_tiles, bands),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=out_shape,
-        scratch_shapes=[
+    if q8:
+        scratches = [
+            pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h3 x2
+            pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h rolled
+            pltpu.VMEM((9 * CIN, m1), jnp.bfloat16),       # X1
+            pltpu.VMEM((256, m1), jnp.float32),            # U1
+            pltpu.VMEM((3, 256, m1), jnp.int8),            # U1 quant x3
+            pltpu.VMEM((9 * CIN, m2), jnp.int8),           # X2 quant
+            pltpu.VMEM((4, 2, 128, m2), jnp.bfloat16),     # R phase bufs
+            pltpu.VMEM((4, 2, 128, m2), jnp.int8),         # R quant
+            pltpu.VMEM((16 * CIN, m3), jnp.int8),          # X3 quant
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratches = [
             pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h3 x2
             pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h rolled
             pltpu.VMEM((9 * CIN, m1), jnp.bfloat16),       # X1
@@ -292,26 +372,42 @@ def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
             pltpu.VMEM((4, 2, 128, m2), jnp.bfloat16),     # R phase bufs
             pltpu.VMEM((16 * CIN, m3), jnp.bfloat16),      # X3
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, bands),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratches,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=max(56, 4 * brc) * 1024 * 1024),
+            vmem_limit_bytes=max(56, 4 * brc + (8 if q8 else 0))
+            * 1024 * 1024),
         interpret=interpret,
     )
 
     def run(h3):
-        return call(h3, w1, b1, a1, w2, b2, a2, w3, b3, seo)
+        return call(h3, w1, b1, a1, w2, b2, a2, w3, b3, seo, *q_in)
 
     return run
 
 
+def _q8_setup64(tail_params, weights, q8_calib):
+    if q8_calib is None:
+        return weights, None
+    return prep_weights_srgan_q8(weights), \
+        calibrate_tail_scales(tail_params, q8_calib)
+
+
 def build_fused_tail64(tail_params: Any, ny: int, nx: int, brc: int = 15,
                        core_rows: int = CORE, interpret: bool = False,
-                       prep: str = "transpose"):
+                       prep: str = "transpose", q8_calib=None):
     """fn(h_tiles (ny*nx, core_rows+4, T, 64)) ->
     (ny*core_rows, nx*CORE, 48) bf16 phase-canonical crop-stitched canvas."""
     weights = prep_weights_srgan(tail_params)
+    weights, q8_scales = _q8_setup64(tail_params, weights, q8_calib)
     call = build_tail64_call(weights, ny, nx, brc, core_rows,
-                             interpret=interpret)
+                             interpret=interpret, q8_scales=q8_scales)
 
     def run(h_tiles):
         canvas = call(make_h3(h_tiles, prep, cin=CIN))
@@ -322,12 +418,14 @@ def build_fused_tail64(tail_params: Any, ny: int, nx: int, brc: int = 15,
 
 def build_fused_tail64_u8(tail_params: Any, ny: int, nx: int, brc: int = 15,
                           core_rows: int = CORE, interpret: bool = False,
-                          prep: str = "transpose", flat: bool = False):
+                          prep: str = "transpose", flat: bool = False,
+                          q8_calib=None):
     """fn(h_tiles (ny*nx, core_rows+4, T, 64)) -> uint8 fine image bytes
     (see tail.py build_fused_tail_u8 for the flat / 5D contracts)."""
     weights = prep_weights_srgan(tail_params)
+    weights, q8_scales = _q8_setup64(tail_params, weights, q8_calib)
     call = build_tail64_call(weights, ny, nx, brc, core_rows, u8_out=True,
-                             interpret=interpret)
+                             interpret=interpret, q8_scales=q8_scales)
 
     def run(h_tiles):
         out = call(make_h3(h_tiles, prep, cin=CIN))

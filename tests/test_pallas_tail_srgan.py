@@ -72,6 +72,30 @@ def test_fused_tail64_u8_matches_canvas(tail_setup, rng):
     assert (diff > 0).mean() < 0.02
 
 
+def test_fused_tail64_q8_within_engine_envelope(tail_setup, rng):
+    """srgan w8a8 tail (int8 up2/final dots) vs the bf16 kernel on final u8
+    pixels: inside the engine quality envelope (VERDICT r2 #1)."""
+    from denoise_gan_tpu.ops.pallas.tail_srgan import build_fused_tail64_u8
+
+    tail, params = tail_setup
+    ny, nx, brc, cr = 1, 1, 12, 24
+    tr = cr + 4
+    h = jnp.asarray(rng.standard_normal((ny * nx, tr, T, 64)) * 0.5,
+                    jnp.bfloat16)
+
+    base = build_fused_tail64_u8(params, ny, nx, brc=brc, core_rows=cr,
+                                 interpret=True)
+    q8 = build_fused_tail64_u8(params, ny, nx, brc=brc, core_rows=cr,
+                               interpret=True,
+                               q8_calib=h.astype(jnp.float32))
+    got = np.asarray(q8(h)).astype(np.int32)
+    want = np.asarray(base(h)).astype(np.int32)
+    diff = np.abs(got - want)
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 1).mean() < 5e-3
+    assert (diff > 0).mean() < 0.25
+
+
 def test_srgan_kernel_engine_matches_plain_generator(rng):
     from denoise_gan_tpu.infer.kernel_engine import (
         build_srgan_kernel_engine, flat_view, plan_grid,
