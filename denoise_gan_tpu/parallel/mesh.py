@@ -42,6 +42,9 @@ def init_distributed() -> None:
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
         return
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized (idempotent, like the reference's L0)
     kwargs = {"coordinator_address": addr}
     if os.environ.get("JAX_NUM_PROCESSES"):
         kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
@@ -87,6 +90,16 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with the canonical batch sharding."""
+    """Stage a host batch as a global array with the canonical batch
+    sharding.  Single-process: a plain device_put.  Multi-process (each
+    host holds its per-host shard from the per-host-sharded pipeline):
+    assemble the GLOBAL batch via make_array_from_process_local_data —
+    global batch = per-host batch x process_count."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    nproc = jax.process_count()
+    if nproc == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), (x.shape[0] * nproc, *x.shape[1:])),
+        batch)

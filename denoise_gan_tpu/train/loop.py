@@ -112,15 +112,43 @@ def warm_start_from_exports(state: GANTrainState,
     return state
 
 
+class _NullWriter:
+    """No-op SummaryWriter stand-in for non-primary hosts."""
+
+    def scalar(self, *a, **k):
+        pass
+
+    def scalars(self, *a, **k):
+        pass
+
+    def image(self, *a, **k):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
 def train(cfg: TrainConfig, family: str) -> GANTrainState:
-    """Full training run; returns the final state."""
+    """Full training run; returns the final state.
+
+    Multi-host: launch one process per host with JAX_COORDINATOR_ADDRESS
+    (+ JAX_NUM_PROCESSES/JAX_PROCESS_ID where not auto-detected).
+    cfg.batch_size is the PER-HOST batch; the jitted step runs on the
+    global batch (batch_size x process_count) over a mesh spanning every
+    process, with the input pipeline file-sharded per host
+    (tools/dryrun_multihost.py --train exercises this end to end)."""
     init_distributed()
+    nproc = jax.process_count()
     mesh = make_mesh(cfg.num_devices)
     n_dev = mesh.devices.size
-    if cfg.batch_size % max(n_dev, 1) and cfg.batch_size > 1:
+    global_bs = cfg.batch_size * nproc
+    if global_bs % max(n_dev, 1) and cfg.batch_size > 1:
         raise ValueError(
-            f"batch_size {cfg.batch_size} not divisible by {n_dev} devices")
-    use_mesh = n_dev > 1 and cfg.batch_size % n_dev == 0
+            f"global batch {global_bs} not divisible by {n_dev} devices")
+    use_mesh = n_dev > 1 and global_bs % n_dev == 0
 
     # Directory layout (/root/reference/train_srgan.py:188-195)
     ckpt_dir = get_path("models/checkpoints", cfg.model_name)
@@ -137,9 +165,12 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
         cfg.save_iter = max(steps_per_epoch, 1)
         print(f"Modified save_iter: {cfg.save_iter}")
 
-    run_dir = timestamped_run_dir(cfg.logdir, cfg.model_name)
-    writer = SummaryWriter(run_dir)
-    print("Created Tensorboard Summary here:", run_dir)
+    if jax.process_index() == 0:
+        run_dir = timestamped_run_dir(cfg.logdir, cfg.model_name)
+        writer = SummaryWriter(run_dir)
+        print("Created Tensorboard Summary here:", run_dir)
+    else:      # non-primary hosts: no TB dir/files, same control flow
+        writer = _NullWriter()
 
     bundle = build_models(family, scale=cfg.scale, fp16=bool(cfg.fp16))
     state = create_train_state(bundle, cfg, jax.random.key(cfg.seed))
@@ -262,7 +293,7 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
 
         # Final exports (the reference's final .h5 saves,
         # /root/reference/train_srgan.py:256-259)
-        if cfg.save_model:
+        if cfg.save_model and jax.process_index() == 0:
             short = time.strftime("%m%d_%H%M")
             export_generator(get_path("models", f"{cfg.model_name}.dgt"),
                              family, cfg.scale, state.gen.params,

@@ -27,7 +27,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def child(proc_id: int, nprocs: int, port: int) -> None:
+def child(proc_id: int, nprocs: int, port: int,
+          train_mode: bool = False) -> None:
     # CPU platform + 4 virtual devices per process (the env is prepared by
     # the launcher; JAX_PLATFORMS/axon must be absent before jax imports)
     import jax
@@ -71,6 +72,32 @@ def child(proc_id: int, nprocs: int, port: int) -> None:
                         process_count=nprocs)
     assert pipe.train_size == 4, pipe.train_size   # per-host file shard
 
+    if train_mode:
+        # the REAL trainer under multi-host: per-host pipeline shard,
+        # global DP step, multihost Orbax checkpointing, process-0-only
+        # TB/exports (train/loop.py)
+        os.makedirs("/tmp/dryrun_mh_train", exist_ok=True)
+        os.chdir("/tmp/dryrun_mh_train")
+        from denoise_gan_tpu.train.loop import train
+        cfg.epochs = 2
+        cfg.retrain = 0
+        cfg.ckpt = 1
+        cfg.save_model = 1
+        cfg.log_images = 0
+        cfg.model_name = "mh_fsrgan"
+        state = train(cfg, "fsrgan")
+        leaves = jax.tree.leaves(state.gen.params) + \
+            jax.tree.leaves(state.disc.params)
+        checksum = float(sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                             for x in leaves))
+        ok_export = (proc_id != 0) or os.path.exists(
+            "models/mh_fsrgan.dgt")
+        print(f"[proc {proc_id}] RESULT gen_loss=0 disc_loss=0 "
+              f"checksum={checksum:.6f} export_ok={ok_export}", flush=True)
+        assert ok_export
+        jax.distributed.shutdown()
+        return
+
     from denoise_gan_tpu.models import build_models
     from denoise_gan_tpu.models.vgg import init_vgg_params
     from denoise_gan_tpu.train.state import create_train_state
@@ -113,7 +140,7 @@ def child(proc_id: int, nprocs: int, port: int) -> None:
     jax.distributed.shutdown()
 
 
-def launcher(nprocs: int, port: int) -> int:
+def launcher(nprocs: int, port: int, train_mode: bool = False) -> int:
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     # strip the axon plugin from PYTHONPATH so the CPU backend wins
@@ -124,7 +151,8 @@ def launcher(nprocs: int, port: int) -> int:
                         " --xla_force_host_platform_device_count=4").strip()
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--proc", str(i),
-         "--nprocs", str(nprocs), "--port", str(port)],
+         "--nprocs", str(nprocs), "--port", str(port)]
+        + (["--train", "1"] if train_mode else []),
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(nprocs)]
     outs = [p.communicate()[0] for p in procs]
@@ -154,11 +182,14 @@ def main():
     p.add_argument("--proc", type=int, default=-1)
     p.add_argument("--nprocs", type=int, default=2)
     p.add_argument("--port", type=int, default=29511)
+    p.add_argument("--train", type=int, default=0,
+                   help="run the REAL train() loop under 2 processes "
+                        "instead of the bare-step dryrun")
     args = p.parse_args()
     if args.proc >= 0:
-        child(args.proc, args.nprocs, args.port)
+        child(args.proc, args.nprocs, args.port, bool(args.train))
     else:
-        sys.exit(launcher(args.nprocs, args.port))
+        sys.exit(launcher(args.nprocs, args.port, bool(args.train)))
 
 
 if __name__ == "__main__":

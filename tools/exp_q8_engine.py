@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""w8a8 tail measurement (VERDICT r2 #1): fps + on-chip quality for the
+fsrgan and srgan kernel engines, bf16 vs q8, at 1080p.
+
+Quality: byte diff between the q8 and bf16 engines' u8 outputs on the SAME
+frame (the bf16 kernel is itself within <=1 u8 level of the exact module,
+PERF.md r2), reported as max level diff and frac(diff > 1).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_q8_engine.py [fsrgan|srgan|both]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench(fn, frames, n=24, label=""):
+    out = fn(frames[0])
+    out.block_until_ready()
+    t0 = time.time()
+    for i in range(n):
+        out = fn(frames[i % 2])
+    out.block_until_ready()
+    dt = time.time() - t0
+    print(f"{label}: {n/dt:.2f} fps ({dt/n*1000:.1f} ms/frame)", flush=True)
+    return n / dt
+
+
+def run_family(family: str):
+    from denoise_gan_tpu.infer.kernel_engine import (
+        build_fsrgan_kernel_engine, build_srgan_kernel_engine)
+    from denoise_gan_tpu.models import build_models
+
+    H, W = 1080, 1920
+    bundle = build_models(family, scale=4, fp16=True)
+    variables = bundle.generator.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, 124, 124, 3), jnp.float32), train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    build = (build_fsrgan_kernel_engine if family == "fsrgan"
+             else build_srgan_kernel_engine)
+
+    rng = np.random.default_rng(0)
+    frames = [jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+              for _ in range(2)]
+
+    base = build(params, stats, H, W)
+    f_base = bench(base, frames, label=f"{family} bf16 tail")
+    q8 = build(params, stats, H, W, q8_calib_frame=frames[0])
+    f_q8 = bench(q8, frames, label=f"{family} w8a8 tail")
+
+    a = np.asarray(base(frames[1])).astype(np.int32)
+    b = np.asarray(q8(frames[1])).astype(np.int32)
+    diff = np.abs(a - b)
+    print(f"{family} q8-vs-bf16 quality: max {diff.max()} u8 levels, "
+          f"frac>0 {100*(diff > 0).mean():.3f}%, "
+          f"frac>1 {100*(diff > 1).mean():.4f}%", flush=True)
+    print(f"{family} speedup: {f_q8/f_base:.3f}x", flush=True)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    fams = ["fsrgan", "srgan"] if which == "both" else [which]
+    for fam in fams:
+        run_family(fam)
+
+
+if __name__ == "__main__":
+    main()
