@@ -184,7 +184,9 @@ def train_repo(args) -> None:
     c.ckpt = 0
     c.log_images = 0
     c.save_iter = 10 ** 9
-    c.model_name = f"h2h_{args.family}"
+    if args.rseed:
+        c.seed = args.rseed
+    c.model_name = f"h2h_{args.family}" +         (f"_s{args.rseed}" if args.rseed else "")
     c.finalize()
     t0 = time.time()
     train(c, args.family)
@@ -198,8 +200,9 @@ def score_repo(args) -> None:
     import jax.numpy as jnp
 
     cfg = H2H_CFG[args.family]
-    model = args.model or os.path.join("models",
-                                       f"h2h_{args.family}.dgt")
+    suffix = f"_s{args.rseed}" if args.rseed else ""
+    model = args.model or os.path.join(
+        "models", f"h2h_{args.family}{suffix}.dgt")
     _, _, forward = build_forward(model, fast=False)
     pairs = np.load(os.path.join(
         args.out_dir, f"pairs_s{cfg['scale']}_q{cfg['q']}.npz"))
@@ -207,7 +210,8 @@ def score_repo(args) -> None:
     for i in range(0, len(pairs["lo"]), 8):
         outs.append(np.asarray(forward(jnp.asarray(pairs["lo"][i:i + 8]))))
     out01 = np.clip((np.concatenate(outs) + 1) / 2, 0, 1)
-    out = os.path.join(args.out_dir, f"out_repo_{args.family}.npz")
+    out = os.path.join(args.out_dir,
+                       f"out_repo_{args.family}{suffix}.npz")
     np.savez(out, out01=out01.astype(np.float32))
     print(f"wrote {out}", flush=True)
 
@@ -261,6 +265,9 @@ def main():
     p.add_argument("--model", default="")
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--rseed", type=int, default=0,
+                   help="repo-side training seed variant (0 = cfg default); "
+                        "suffixes the model/output names for seed studies")
     args = p.parse_args()
     dict(pairs=make_pairs, train=train_tf, train_repo=train_repo,
          score_repo=score_repo, report=report)[args.cmd](args)
