@@ -253,6 +253,14 @@ def report(args) -> None:
               f"| {pr:.2f} / {sr:.4f} | {pt:.2f} / {st:.4f} "
               f"| {pi:.2f} / {si:.4f} "
               f"| **{pr-pt:+.2f}** | **{sr-st:+.4f}** |")
+        # repo-side seed variants (train_repo --rseed N), if present
+        for s in range(2, 10):
+            sf = os.path.join(args.out_dir, f"out_repo_{fam}_s{s}.npz")
+            if os.path.exists(sf):
+                ps, ss_ = score(np.load(sf)["out01"], hi01)
+                print(f"| {fam} (seed {s}) | {cfg['scale']}x/q{cfg['q']} "
+                      f"| {cfg['steps']} | {ps:.2f} / {ss_:.4f} |  |  "
+                      f"| **{ps-pt:+.2f}** | **{ss_-st:+.4f}** |")
 
 
 def main():
