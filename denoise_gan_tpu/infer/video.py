@@ -85,12 +85,37 @@ def _reader(cap, q: queue.Queue, max_frames: int):
     q.put(None)
 
 
+# Measured-optimal XLA crop-engine (tile, overlap) per family at 1080p
+# (tools/sweep_tile_defaults.py; autoencoder 51.2 fps at 128/8 vs 32.9 at
+# the old 256/32).  pix2pix's U-Net needs tile % 256 == 0.  The 4x rows
+# apply only to the XLA fallback (the fused kernel engine has fixed
+# geometry); 144/4 is the round-1 sweep optimum (PERF.md).
+TILE_DEFAULTS = {
+    "autoencoder": (128, 8),
+    "pix2pix": (256, 8),
+    "fsrgan": (144, 4),
+    "srgan": (144, 4),
+}
+
+
+def resolve_tile_defaults(args, family: str) -> None:
+    """--tile/--tile_overlap default to -1 = auto: pick the measured-optimal
+    geometry for the model's family.  Explicit values (incl. --tile 0 =
+    whole-frame) are honored as given."""
+    t, ov = TILE_DEFAULTS.get(family, (256, 32))
+    if args.tile < 0:
+        args.tile = t
+    if args.tile_overlap < 0:
+        args.tile_overlap = ov
+
+
 def process_video(args) -> dict:
     import cv2
     input_path = get_path(args.input_video)
     num_frames, fps, fw, fh, _ = get_video_info(input_path)
     config, bundle, forward = build_forward(get_path(args.model), fast=bool(args.fast))
     scale = config["scale"] if bundle.upscales else 1
+    resolve_tile_defaults(args, config.get("family", ""))
 
     # fastest path: the whole-frame engine (coarse-tail forward + phase-space
     # overlap-add stitch in ONE compiled program per frame, infer/engine.py)
@@ -373,9 +398,12 @@ def build_parser() -> ArgumentParser:
                         help="Path to model export (.dgt).")
     parser.add_argument("--frame_start", default=0, type=int)
     parser.add_argument("--max_frames", default=0, type=int)
-    parser.add_argument("--tile", default=256, type=int,
-                        help="0 = whole-frame mode (reference behavior)")
-    parser.add_argument("--tile_overlap", default=32, type=int)
+    parser.add_argument("--tile", default=-1, type=int,
+                        help="XLA crop-engine tile size; -1 = auto (measured "
+                             "per-family optimum, e.g. 128 for autoencoder); "
+                             "0 = whole-frame mode (reference behavior)")
+    parser.add_argument("--tile_overlap", default=-1, type=int,
+                        help="-1 = auto (per-family measured optimum)")
     parser.add_argument("--stitch", default="crop",
                         choices=["crop", "feather"],
                         help="tile stitching: hard-cut center crop (faster, "

@@ -36,9 +36,11 @@ def run_family(family: str, grid):
 
     H, W = 1080, 1920
     bundle = build_models(family, scale=1)
+    # pix2pix's 8-downsample U-Net needs a >=256 init shape (64^2 bottoms
+    # out at 1x1 and the skip concat mismatches)
     variables = bundle.generator.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+        jnp.zeros((1, 256, 256, 3), jnp.float32), train=False)
 
     def fwd(tiles):
         return bundle.generator.apply(variables, tiles, train=False)
@@ -66,9 +68,16 @@ def run_family(family: str, grid):
 
 def main():
     fams = sys.argv[1:] or ["autoencoder", "pix2pix"]
-    grid = [(256, 32), (256, 8), (192, 8), (144, 4), (128, 8)]
+    # pix2pix's U-Net concats 8 levels of skips: tile must be % 256 == 0
+    grids = {
+        "pix2pix": [(256, 32), (256, 8), (256, 4), (512, 8)],
+    }
+    default_grid = [(256, 32), (256, 8), (192, 8), (144, 4), (128, 8)]
     for fam in fams:
-        run_family(fam, grid)
+        try:
+            run_family(fam, grids.get(fam, default_grid))
+        except Exception as e:  # noqa: BLE001
+            print(f"{fam}: sweep FAILED {type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":
