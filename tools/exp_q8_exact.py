@@ -23,7 +23,7 @@ def run_family(family: str):
     from denoise_gan_tpu.infer.engine import build_frame_engine
     from denoise_gan_tpu.infer.fast import build_fast_coarse
     from denoise_gan_tpu.infer.kernel_engine import (
-        build_fsrgan_kernel_engine, build_srgan_kernel_engine)
+        build_fsrgan_kernel_engine, build_srgan_kernel_engine, flat_view)
     from denoise_gan_tpu.models import build_models
 
     H, W = 1080, 1920
@@ -48,7 +48,9 @@ def run_family(family: str):
              else build_srgan_kernel_engine)
     for label, kw in (("bf16", {}), ("q8", dict(q8_calib_frame=frame))):
         eng = build(params, stats, H, W, **kw)
-        got = np.asarray(eng(frame)).astype(np.int32)
+        # the kernel emits the raw 5D u8 contract; flat_view is the
+        # zero-copy (H*4, W*4*3) byte view the CLI consumes
+        got = flat_view(eng(frame), H, W).astype(np.int32)
         d = np.abs(got - exact)
         print(f"{family} kernel[{label}] vs exact whole-frame: "
               f"max={d.max()} frac>0={(d > 0).mean():.5f} "
