@@ -45,9 +45,12 @@ def main() -> None:
     # VMEM-resident kernel; output is the kernel's 5D uint8 whose C-order
     # bytes ARE the (H*4, W*4*3) HWC stream (kernel_engine.flat_view is a
     # zero-copy host flatten — the video CLI consumes it that way).
-    # BENCH_Q8=1 switches the tail's up2/final dots to w8a8 int8 (first
-    # frame as calibration; VERDICT r2 #1 measurement switch).
-    q8 = bool(int(os.environ.get("BENCH_Q8", "0")))
+    # w8a8 tail (int8 up2/final dots, first frame as calibration) is the
+    # DEFAULT — same as the video CLI: measured ~zero added deviation vs
+    # the exact whole-frame output beyond the bf16 kernel's accepted
+    # envelope (tools/exp_q8_exact.py) at 1.06x fps.  BENCH_Q8=0 reverts
+    # to the bf16 tail.
+    q8 = bool(int(os.environ.get("BENCH_Q8", "1")))
     denoise_frame = build_fsrgan_kernel_engine(
         variables["params"], variables.get("batch_stats", {}), H, W,
         q8_calib_frame=frames[0] if q8 else None)

@@ -172,13 +172,21 @@ def process_video(args) -> dict:
                      if config.get("family") == "fsrgan"
                      else kernel_engine.build_srgan_kernel_engine)
             bkw = {}
-            if args.q8:
+            if args.q8 != 0:
                 # w8a8 tail (int8 up2/final dots) calibrated on the first
-                # frame (VERDICT r2 #1); quality stays inside the engine's
-                # <=1-u8-level envelope (tests/test_pallas_tail.py)
+                # frame — the DEFAULT (--q8 -1 = auto-on): measured vs the
+                # exact whole-frame output it adds ~zero deviation beyond
+                # the bf16 kernel's accepted envelope (fsrgan frac>1
+                # 1.440% -> 1.456%, srgan 0% -> 0%; tools/exp_q8_exact.py)
+                # and is 1.06-1.16x faster (PERF.md r3).  --q8 0 forces the
+                # bf16 tail.
                 calib = _peek_first_frame(input_path, args.frame_start)
                 if calib is not None:
                     bkw["q8_calib_frame"] = jnp.asarray(calib)
+                elif args.q8 == 1:
+                    print("note: --q8 1 ignored — could not decode a "
+                          "calibration frame; using the bf16 tail",
+                          flush=True)
             engine = build(params, batch_stats, fh, fw, **bkw)
             engine_flat = True
             engine_kernel = True
@@ -438,11 +446,14 @@ def build_parser() -> ArgumentParser:
                              "--tile/--tile_overlap/--stitch are not used "
                              "by this engine (a notice is printed if 1 "
                              "cannot be honored)")
-    parser.add_argument("--q8", default=0, type=int,
+    parser.add_argument("--q8", default=-1, type=int,
                         help="w8a8 tail in the fused kernel engine (fsrgan/"
                              "srgan 4x): int8 up2/final matmuls calibrated "
                              "on the first frame; <=1 u8 level vs the bf16 "
-                             "kernel")
+                             "kernel and ~zero added deviation vs the exact "
+                             "whole-frame output (PERF.md r3). -1 = auto "
+                             "(on when the kernel engine is used), 0 = "
+                             "force bf16 tail, 1 = require w8a8")
     parser.add_argument("--verbose", default=0, type=int)
     return parser
 
