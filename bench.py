@@ -28,7 +28,7 @@ def main() -> None:
     from denoise_gan_tpu.models import build_models
 
     H, W = 1080, 1920
-    FRAMES = 16
+    FRAMES = 32
 
     bundle = build_models("fsrgan", scale=4, fp16=True)
     x0 = jnp.zeros((1, 124, 124, 3), jnp.float32)

@@ -147,7 +147,7 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
 
 
 def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
-                               brc: int = 45, prep: str = "conv",
+                               brc: int | None = None, prep: str = "conv",
                                interpret: bool = False,
                                plan: tuple[int, int, int] | None = None,
                                q8_calib_frame=None, **kw):
@@ -155,8 +155,15 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
 
     q8_calib_frame: an (H, W, 3) [0,1] sample frame — runs the body once on
     its tiles and builds the w8a8 (int8 up2/final) tail calibrated on the
-    resulting activations (VERDICT r2 #1)."""
+    resulting activations (VERDICT r2 #1).
+
+    brc=None picks the measured-optimal band size per tail mode
+    (tools/exp_q8_brc_sweep.py: w8a8 27.04 fps at brc=27 vs 26.86 at the
+    bf16-tuned 45)."""
     from denoise_gan_tpu.models.fsrgan import FSRGANBody
+
+    if brc is None:
+        brc = 27 if q8_calib_frame is not None else 45
 
     body = FSRGANBody(dtype=jnp.bfloat16)
     body_p = params["body"]
@@ -191,15 +198,22 @@ def _body_sample(body_apply, frame01, height, width, brc,
 
 
 def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,
-                              brc: int = 15, prep: str = "conv",
+                              brc: int | None = None, prep: str = "conv",
                               interpret: bool = False,
                               plan: tuple[int, int, int] | None = None,
                               q8_calib_frame=None, **kw):
     """SRGAN 4x variant: 16-resblock body (XLA, bf16) + the CIN=64 fused
     tail kernel (ops/pallas/tail_srgan.py).  Same geometry and output
-    contracts (and q8_calib_frame option) as the FSRGAN engine."""
+    contracts (and q8_calib_frame option) as the FSRGAN engine.
+
+    brc=None picks the measured-optimal band size per tail mode
+    (tools/exp_q8_brc_sweep.py: w8a8 13.94 fps at brc=27 vs 13.59 at the
+    bf16-tuned 15)."""
     from denoise_gan_tpu.models.srgan import SRGANBody
     from denoise_gan_tpu.ops.pallas import tail_srgan
+
+    if brc is None:
+        brc = 27 if q8_calib_frame is not None else 15
 
     body = SRGANBody(dtype=jnp.bfloat16)
     body_p = params["body"]
