@@ -74,7 +74,7 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
                         interpret: bool = False,
                         plan: tuple[int, int, int] | None = None,
                         tail_builders=None, jit_compile: bool = True,
-                        q8_calib=None):
+                        q8_calib=None, bgr: bool = False):
     """body_apply: (N, TR, T, 3) [-1,1] -> (N, TR, T, 32) bf16 body features.
     Returns fn(frame01 (H, W, 3)) ->
     * out_uint8 (default): the kernel's raw (ny*CR, 4, nx, CORE, 12) uint8
@@ -99,9 +99,15 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
                                          build_fused_tail_u8)
     qkw = {} if q8_calib is None else {"q8_calib": q8_calib}
     if u8_path:
+        # bgr: the kernel's u8 epilogue emits BGR byte order directly (a
+        # free Seo column permutation) — what cv2's writer consumes; saves
+        # a 95 MB/frame strided host flip in the video CLI at 1080p->4K
         fused = mk_u8(tail_params, ny, nx, brc=brc, core_rows=cr, prep=prep,
-                      interpret=interpret, flat=False, **qkw)
+                      interpret=interpret, flat=False, bgr=bgr, **qkw)
     else:
+        if bgr:
+            raise ValueError("bgr=True requires the u8/flat kernel path "
+                             "(out_uint8=True, flat_channels=True)")
         fused = mk_canvas(tail_params, ny, nx, brc=brc, core_rows=cr,
                           prep=prep, interpret=interpret, **qkw)
 

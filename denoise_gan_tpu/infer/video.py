@@ -122,6 +122,7 @@ def process_video(args) -> dict:
     engine = None
     engine_flat = False
     engine_kernel = False
+    engine_bgr = False
     engine_name = "whole-frame" if not args.tile else "plain-tiled"
     # Scoring cadence: the fused-kernel path scores from its u8 output via a
     # device-side relayout (~20-40 ms per scored frame), so by default it
@@ -172,6 +173,12 @@ def process_video(args) -> dict:
                      if config.get("family") == "fsrgan"
                      else kernel_engine.build_srgan_kernel_engine)
             bkw = {}
+            # when writing an mp4, have the kernel emit BGR bytes directly
+            # (free Seo column permutation in the u8 epilogue) — cv2 wants
+            # BGR, and the host-side [..., ::-1] flip costs a 95 MB strided
+            # copy per 4K frame otherwise
+            engine_bgr = bool(args.output_video)
+            bkw["bgr"] = engine_bgr
             if args.q8 != 0:
                 # w8a8 tail (int8 up2/final dots) calibrated on the first
                 # frame — the DEFAULT (--q8 -1 = auto-on): measured vs the
@@ -191,7 +198,9 @@ def process_video(args) -> dict:
             engine_flat = True
             engine_kernel = True
             engine_name = (f"fused-kernel ({config.get('family')} 4x"
-                           + (", w8a8 tail" if bkw else "")
+                           + (", w8a8 tail" if "q8_calib_frame" in bkw
+                              else "")
+                           + (", bgr out" if engine_bgr else "")
                            + "; fixed 124/120 tile geometry — --tile/"
                              "--tile_overlap/--stitch not used)")
         else:
@@ -234,12 +243,35 @@ def process_video(args) -> dict:
         cap.set(cv2.CAP_PROP_POS_FRAMES, args.frame_start)
 
     writer = None
+    writer_q: "queue.Queue | None" = None
+    writer_thread = None
+    writer_err: list = []
     if args.output_video:
         out_path = get_path(args.output_video)
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         writer = cv2.VideoWriter(out_path,
                                  cv2.VideoWriter_fourcc(*"mp4v"),
                                  fps or 25.0, (fw * scale, fh * scale))
+        # Async writer: the software mp4 encode of a scale*frame is the
+        # slowest HOST stage (seconds/frame for 4K on one core) — run it in
+        # its own thread behind a bounded queue so encode overlaps device
+        # compute and the D2H fetch instead of serializing after them.
+        writer_q = queue.Queue(maxsize=4)
+
+        def _writer_worker():
+            while True:
+                item = writer_q.get()
+                if item is None:
+                    break
+                arr, is_bgr = item
+                if not writer_err:
+                    try:
+                        writer.write(arr if is_bgr else arr[..., ::-1])
+                    except Exception as e:  # noqa: BLE001
+                        writer_err.append(e)   # keep draining; raise at end
+
+        writer_thread = threading.Thread(target=_writer_worker, daemon=True)
+        writer_thread.start()
 
     clean_cap = None
     if args.clean_video:
@@ -278,6 +310,10 @@ def process_video(args) -> dict:
     def score_5d(out5, ref01):
         from denoise_gan_tpu.infer.kernel_engine import flat_to_hwc
         out01 = flat_to_hwc(out5, fh, fw, scale)
+        if engine_bgr:
+            # kernel emits BGR for the writer; PSNR/SSIM are invariant
+            # under a consistent channel permutation, so flip the ref
+            ref01 = ref01[..., ::-1]
         a, b = out01[None], ref01[None]
         return psnr(a, b)[0], ssim(a, b)[0]
 
@@ -311,8 +347,8 @@ def process_video(args) -> dict:
             arr = arr.reshape(fh * scale, fw * scale, 3)
         else:
             arr = np.asarray(out).reshape(fh * scale, fw * scale, 3)
-        if writer is not None:
-            writer.write(arr[..., ::-1])
+        if writer_q is not None:
+            writer_q.put((arr, engine_bgr))
         frames += 1
         if args.verbose:
             print(f"frame {frames}", flush=True)
@@ -363,11 +399,11 @@ def process_video(args) -> dict:
             scored += 1
         submitted += 1
 
-        if writer is not None:
+        if writer_q is not None:
             # round (+0.5) like the engine's uint8 path, not truncate —
             # keeps both output modes byte-consistent (ADVICE.md r1)
             arr = np.asarray((out01 * 255.0 + 0.5).astype(jnp.uint8))
-            writer.write(arr[..., ::-1])
+            writer_q.put((arr, False))
         frames += 1
         if args.verbose:
             print(f"frame {frames}", flush=True)
@@ -375,9 +411,14 @@ def process_video(args) -> dict:
     while inflight:
         _drain_one()
     jax.effects_barrier()
+    if writer_q is not None:
+        writer_q.put(None)
+        writer_thread.join()
     elapsed = time.time() - t0
     if writer is not None:
         writer.release()
+        if writer_err:
+            raise writer_err[0]
     cap.release()
 
     result = {

@@ -61,9 +61,14 @@ CIN = 32
 # ---------------------------------------------------------------------------
 # weight preparation (host-side numpy)
 
-def prep_weights(tail_params: Any) -> dict[str, np.ndarray]:
+def prep_weights(tail_params: Any, bgr: bool = False) -> dict[str, np.ndarray]:
     """Pack the plain FSRGANTail params (models/fsrgan.py FSRGANTail) into
-    the kernel's matmul forms."""
+    the kernel's matmul forms.
+
+    bgr=True permutes the u8 epilogue's eo-selection columns so the kernel
+    emits BGR byte order directly (what cv2's mp4 writer consumes) — a free
+    column permutation on device that saves a 95 MB/frame strided host copy
+    in the video CLI."""
     up1 = tail_params["up1"]
     up2 = tail_params["up2"]
     out = tail_params["out_conv"]
@@ -119,11 +124,15 @@ def prep_weights(tail_params: Any) -> dict[str, np.ndarray]:
                     n0 = (eo * 4 + fo) * 3
                     W3p[k0:k0 + CIN, n0:n0 + 3] = Wf[du + 1, dv + 1]
 
-    # u8 epilogue: eo-selection matrices (48 -> 12), exact 0/1 in bf16
+    # u8 epilogue: eo-selection matrices (48 -> 12), exact 0/1 in bf16.
+    # Source col j = fo*3 + c with c in RGB; bgr swaps the c order of the
+    # OUTPUT column only (b3/tanh act on the pre-selection RGB columns).
     Seo = np.zeros((4, 48, 12), np.float32)
     for eo in range(4):
-        for j in range(12):
-            Seo[eo, eo * 12 + j, j] = 1.0
+        for fo in range(4):
+            for c in range(3):
+                out_c = (2 - c) if bgr else c
+                Seo[eo, eo * 12 + fo * 3 + c, fo * 3 + out_c] = 1.0
 
     return dict(
         W1m=W1m.astype(np.float32),
@@ -560,7 +569,7 @@ def build_fused_tail(tail_params: Any, ny: int, nx: int, brc: int = 8,
 def build_fused_tail_u8(tail_params: Any, ny: int, nx: int, brc: int = 8,
                         core_rows: int = CORE, interpret: bool = False,
                         prep: str = "transpose", flat: bool = True,
-                        q8_calib=None):
+                        q8_calib=None, bgr: bool = False):
     """fn(h_tiles (ny*nx, core_rows+4, T, 32)) -> uint8 fine image bytes.
 
     flat=True: (ny*core_rows*4, nx*CORE*12) — the flat byte layout of the
@@ -574,8 +583,10 @@ def build_fused_tail_u8(tail_params: Any, ny: int, nx: int, brc: int = 8,
     (r,eo) major, then (x, col, fo, c)), so
     ``np.asarray(out).reshape(ny*core_rows*4, nx*CORE*12)`` on the host is
     a zero-copy view — the device->host transfer de-tiles either way.
-    Prefer this for throughput paths (infer/kernel_engine.py)."""
-    weights = prep_weights(tail_params)
+    Prefer this for throughput paths (infer/kernel_engine.py).
+
+    bgr=True: bytes come out BGR-ordered (see prep_weights)."""
+    weights = prep_weights(tail_params, bgr=bgr)
     weights, q8_scales = _q8_setup(tail_params, weights, q8_calib)
     call = build_tail_call(weights, ny, nx, brc, core_rows, u8_out=True,
                            interpret=interpret, q8_scales=q8_scales)

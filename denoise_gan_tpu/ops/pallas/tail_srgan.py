@@ -44,9 +44,11 @@ CIN = 64
 # ---------------------------------------------------------------------------
 # weight preparation (host-side numpy)
 
-def prep_weights_srgan(tail_params: Any) -> dict[str, np.ndarray]:
+def prep_weights_srgan(tail_params: Any,
+                       bgr: bool = False) -> dict[str, np.ndarray]:
     """Pack the plain SRGANTail params (models/srgan.py) into the kernel's
-    matmul forms."""
+    matmul forms.  bgr=True: permute the u8 epilogue selection to emit BGR
+    byte order (see tail.py prep_weights)."""
     up1 = tail_params["up1"]
     up2 = tail_params["up2"]
     out = tail_params["out_conv"]
@@ -87,11 +89,14 @@ def prep_weights_srgan(tail_params: Any) -> dict[str, np.ndarray]:
     for ph in range(16):
         W3p[ph * CIN:(ph + 1) * CIN, ph * 3:(ph + 1) * 3] = Wf[0, 0]
 
-    # u8 epilogue: eo-selection matrices (48 -> 12), exact 0/1
+    # u8 epilogue: eo-selection matrices (48 -> 12), exact 0/1; col
+    # j = fo*3 + c (c in RGB), bgr swaps only the output column order
     Seo = np.zeros((4, 48, 12), np.float32)
     for eo in range(4):
-        for j in range(12):
-            Seo[eo, eo * 12 + j, j] = 1.0
+        for fo in range(4):
+            for c in range(3):
+                out_c = (2 - c) if bgr else c
+                Seo[eo, eo * 12 + fo * 3 + c, fo * 3 + out_c] = 1.0
 
     return dict(
         W1m=W1m.astype(np.float32),
@@ -419,10 +424,10 @@ def build_fused_tail64(tail_params: Any, ny: int, nx: int, brc: int = 15,
 def build_fused_tail64_u8(tail_params: Any, ny: int, nx: int, brc: int = 15,
                           core_rows: int = CORE, interpret: bool = False,
                           prep: str = "transpose", flat: bool = False,
-                          q8_calib=None):
+                          q8_calib=None, bgr: bool = False):
     """fn(h_tiles (ny*nx, core_rows+4, T, 64)) -> uint8 fine image bytes
-    (see tail.py build_fused_tail_u8 for the flat / 5D contracts)."""
-    weights = prep_weights_srgan(tail_params)
+    (see tail.py build_fused_tail_u8 for the flat / 5D / bgr contracts)."""
+    weights = prep_weights_srgan(tail_params, bgr=bgr)
     weights, q8_scales = _q8_setup64(tail_params, weights, q8_calib)
     call = build_tail64_call(weights, ny, nx, brc, core_rows, u8_out=True,
                              interpret=interpret, q8_scales=q8_scales)

@@ -154,3 +154,23 @@ def test_fused_tail_u8_matches_canvas(tail_setup, rng, ny, nx, brc, cr):
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 1e-3
+
+
+def test_fused_tail_u8_bgr_is_channel_flip(tail_setup, rng):
+    """bgr=True must emit exactly the RGB output with the last-dim channel
+    triplets reversed (free Seo column permutation; video CLI writer path)."""
+    tail, params = tail_setup
+    ny, nx, brc, cr = 1, 2, 12, 24
+    tr = cr + 4
+    h = jnp.asarray(rng.standard_normal((ny * nx, tr, T, 32)) * 0.5,
+                    jnp.bfloat16)
+
+    rgb = np.asarray(build_fused_tail_u8(params, ny, nx, brc=brc,
+                                         core_rows=cr, interpret=True)(h))
+    bgr = np.asarray(build_fused_tail_u8(params, ny, nx, brc=brc,
+                                         core_rows=cr, interpret=True,
+                                         bgr=True)(h))
+    H, W = ny * cr * 4, nx * CORE * 4
+    rgb3 = rgb.reshape(H, W, 3)
+    bgr3 = bgr.reshape(H, W, 3)
+    np.testing.assert_array_equal(bgr3, rgb3[..., ::-1])
