@@ -135,7 +135,7 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
                        channels: int = 3, frames_per_call: int = 1,
                        out_uint8: bool = False, flat_channels: bool = False,
                        acc_dtype=jnp.float32, mesh=None,
-                       stitch: str = "feather"):
+                       stitch: str = "feather", bgr: bool = False):
     """Build a jitted frame01 (H, W, 3) -> out (H*scale, W*scale, 3) fn.
 
     `forward_coarse`: (N, tile, tile, 3) [-1,1] -> (N, tile, tile,
@@ -160,6 +160,10 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
     sharded over the 'data' axis, so each chip runs the generator on its own
     tiles and GSPMD gathers them for the stitch (the frame-level analog of
     the reference's absent data parallelism, SURVEY.md §2 C19)."""
+    if bgr and scale != 1:
+        raise ValueError("bgr=True supports scale==1 engines only (the "
+                         "scale>1 phase-channel layout needs the kernel "
+                         "engines' Seo permutation instead)")
     whole = tile <= 0
     crop = stitch == "crop" and not whole
     m0 = (overlap // 2) if crop else 0
@@ -220,6 +224,10 @@ def build_frame_engine(forward_coarse, height: int, width: int, scale: int,
                                   ny, nx, tile, stride)
                 acc = acc * inv_norm
         out01 = jnp.clip((acc.astype(acc_dtype) + 1.0) / 2.0, 0.0, 1.0)
+        if bgr:
+            # scale==1 only (guarded below): plain HWC channels — emit BGR
+            # on device so the video writer needs no host flip
+            out01 = out01[..., ::-1]
         if out_uint8:
             out01 = (out01 * 255.0 + 0.5).astype(jnp.uint8)
         if scale > 1:

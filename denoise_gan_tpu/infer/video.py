@@ -138,13 +138,18 @@ def process_video(args) -> dict:
         # per frame (37-148 fps/chip at 1080p, PERF.md r2)
         from denoise_gan_tpu.infer.engine import build_frame_engine
         flat = not args.score
+        # emit BGR on device when writing unscored video (the writer wants
+        # BGR; saves the per-frame strided host flip)
+        engine_bgr = flat and bool(args.output_video)
         engine = build_frame_engine(
             lambda tiles: forward(tiles), fh, fw, 1,
             args.tile, args.tile_overlap, out_uint8=flat,
             flat_channels=flat, stitch=args.stitch,
-            acc_dtype=jnp.bfloat16 if args.engine_bf16 else jnp.float32)
+            acc_dtype=jnp.bfloat16 if args.engine_bf16 else jnp.float32,
+            bgr=engine_bgr)
         engine_flat = flat
-        engine_name = f"xla-crop ({args.tile}/{args.tile_overlap})"
+        engine_name = (f"xla-crop ({args.tile}/{args.tile_overlap})"
+                       + (", bgr out" if engine_bgr else ""))
         if args.kernel_tail == 1:
             print("note: --kernel_tail 1 ignored — the fused kernel engine "
                   f"exists only for fsrgan/srgan 4x (family="

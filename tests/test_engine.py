@@ -98,3 +98,28 @@ def test_engine_batched_frames(rng):
     for i in range(3):
         np.testing.assert_allclose(got[i], np.asarray(eng1(frames[i])),
                                    atol=1e-6)
+
+
+def test_engine_bgr_is_channel_flip(rng):
+    """bgr=True (scale==1, video-writer path) emits exactly the RGB output
+    with channels reversed; scale>1 is rejected (phase-channel layout needs
+    the kernel engines' Seo permutation)."""
+    import pytest
+
+    H, W = 20, 24
+    fwd, _ = _local_forward(rng, 1)
+    frame01 = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+
+    eng_rgb = build_frame_engine(fwd, H, W, 1, tile=16, overlap=4,
+                                 out_uint8=True, flat_channels=True,
+                                 stitch="crop")
+    eng_bgr = build_frame_engine(fwd, H, W, 1, tile=16, overlap=4,
+                                 out_uint8=True, flat_channels=True,
+                                 stitch="crop", bgr=True)
+    rgb = np.asarray(eng_rgb(frame01))
+    bgr = np.asarray(eng_bgr(frame01))
+    np.testing.assert_array_equal(bgr, rgb[..., ::-1])
+
+    with pytest.raises(ValueError):
+        build_frame_engine(fwd, H, W, 2, tile=16, overlap=4,
+                           out_uint8=True, bgr=True)
