@@ -104,7 +104,13 @@ def train_tf(args) -> None:
     _ensure_corpus(args.data_root)
     train_imgs = _load_split(args.data_root, "train")  # (240,288,288,3)
     n_img, size = train_imgs.shape[0], train_imgs.shape[1]
-    rng = np.random.default_rng(args.seed)
+    # --tfseed N: TF-side seed variant for the GAN-variance study (the
+    # repo-side analog is --rseed) — reseeds BOTH the Keras inits and the
+    # data sampling, and suffixes the outputs _sN
+    sfx = f"_s{args.tfseed}" if args.tfseed else ""
+    if args.tfseed:
+        tf.random.set_seed(args.tfseed)
+    rng = np.random.default_rng(args.seed + args.tfseed)
 
     step_fn, _, gen = make_step(args.family, return_gen=True)
 
@@ -145,7 +151,7 @@ def train_tf(args) -> None:
         outs.append(gen(tf.constant(pairs["lo"][i:i + 8]),
                         training=False).numpy())
     out01 = np.clip((np.concatenate(outs) + 1) / 2, 0, 1)
-    out = os.path.join(args.out_dir, f"out_tf_{args.family}.npz")
+    out = os.path.join(args.out_dir, f"out_tf_{args.family}{sfx}.npz")
     np.savez(out, out01=out01.astype(np.float32))
     med = float(np.median(rates)) if rates else 0.0
     stats = dict(family=args.family, steps=steps, batch=bs, crop=crop,
@@ -154,7 +160,7 @@ def train_tf(args) -> None:
                  steps_per_s_max=round(float(np.max(rates)) if rates else 0., 4),
                  imgs_per_s_median=round(med * bs, 4))
     with open(os.path.join(args.out_dir,
-                           f"tfstats_{args.family}.json"), "w") as f:
+                           f"tfstats_{args.family}{sfx}.json"), "w") as f:
         json.dump(stats, f)
     print("TFSTATS", json.dumps(stats), flush=True)
     print(f"wrote {out}", flush=True)
@@ -253,7 +259,8 @@ def report(args) -> None:
               f"| {pr:.2f} / {sr:.4f} | {pt:.2f} / {st:.4f} "
               f"| {pi:.2f} / {si:.4f} "
               f"| **{pr-pt:+.2f}** | **{sr-st:+.4f}** |")
-        # repo-side seed variants (train_repo --rseed N), if present
+        # seed variants on either side (train_repo --rseed N / train
+        # --tfseed N), if present — quantify GAN seed variance vs the gap
         for s in range(2, 10):
             sf = os.path.join(args.out_dir, f"out_repo_{fam}_s{s}.npz")
             if os.path.exists(sf):
@@ -261,6 +268,12 @@ def report(args) -> None:
                 print(f"| {fam} (seed {s}) | {cfg['scale']}x/q{cfg['q']} "
                       f"| {cfg['steps']} | {ps:.2f} / {ss_:.4f} |  |  "
                       f"| **{ps-pt:+.2f}** | **{ss_-st:+.4f}** |")
+            tfv = os.path.join(args.out_dir, f"out_tf_{fam}_s{s}.npz")
+            if os.path.exists(tfv):
+                pv, sv = score(np.load(tfv)["out01"], hi01)
+                print(f"| {fam} (TF seed {s}) | {cfg['scale']}x/q{cfg['q']} "
+                      f"| {cfg['steps']} |  | {pv:.2f} / {sv:.4f} |  "
+                      f"| vs TF-s1: {pv-pt:+.2f} | {sv-st:+.4f} |")
 
 
 def main():
@@ -276,6 +289,10 @@ def main():
     p.add_argument("--rseed", type=int, default=0,
                    help="repo-side training seed variant (0 = cfg default); "
                         "suffixes the model/output names for seed studies")
+    p.add_argument("--tfseed", type=int, default=0,
+                   help="TF-side seed variant (0 = default seeds); reseeds "
+                        "Keras inits + data sampling and suffixes outputs "
+                        "_N for the GAN-variance study")
     args = p.parse_args()
     dict(pairs=make_pairs, train=train_tf, train_repo=train_repo,
          score_repo=score_repo, report=report)[args.cmd](args)
