@@ -122,3 +122,29 @@ def test_video_cli_auto_tile_defaults(small_video, ae_export, tmp_path,
     outtxt = capsys.readouterr().out
     assert "engine: xla-crop (128/8)" in outtxt
     assert os.path.exists(out)
+
+
+def test_video_cli_writer_error_surfaces(small_video, ae_export, tmp_path,
+                                         monkeypatch):
+    """A failure inside the async writer thread (disk full, codec error)
+    must surface as an exception at the end of the run, not vanish."""
+    import cv2 as _cv2
+
+    from denoise_gan_tpu.infer import video as vmod
+
+    class _BoomWriter:
+        def __init__(self, *a, **k):
+            pass
+
+        def write(self, *_):
+            raise OSError("disk full (synthetic)")
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(_cv2, "VideoWriter", _BoomWriter)
+    out = str(tmp_path / "boom.mp4")
+    with pytest.raises(OSError, match="disk full"):
+        vmod.main(["--input_video", small_video, "--output_video", out,
+                   "--model", ae_export, "--max_frames", "2", "--score",
+                   "0", "--tile", "0", "--fast", "0"])
