@@ -8,21 +8,30 @@ v5e.  Prints ONE JSON line:
    "vs_baseline": N/30}
 (the reference publishes no numbers — SURVEY.md §6 — so vs_baseline is the
 ratio to the driver-set 30 fps target).
+
+Outage resilience (VERDICT r3 #1): backend acquisition is retried with
+bounded backoff (3 x ~20s), and on unrecoverable failure ONE structured JSON
+line with an "error" field is printed (rc=1) instead of a raw traceback —
+round 3 lost its driver-verified headline to a transient axon-tunnel outage.
+The active mode (q8/brc/grid/frames) is echoed on stderr so captured numbers
+are self-describing (VERDICT r3 #7).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+METRIC = "1080p_fps_per_chip"
+UNIT = "frames/sec"
 
 
-def main() -> None:
-    import os
+def run_bench() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from denoise_gan_tpu.infer.kernel_engine import build_fsrgan_kernel_engine
     from denoise_gan_tpu.models import build_models
@@ -55,6 +64,10 @@ def main() -> None:
         variables["params"], variables.get("batch_stats", {}), H, W,
         q8_calib_frame=frames[0] if q8 else None)
 
+    # self-describing mode echo (stderr; the JSON line stays clean)
+    print(f"# mode: q8={int(q8)} engine=fsrgan_kernel "
+          f"H={H} W={W} frames={FRAMES}", file=sys.stderr)
+
     # warmup / compile
     denoise_frame(frames[0]).block_until_ready()
 
@@ -67,13 +80,37 @@ def main() -> None:
     fps = FRAMES / elapsed
 
     print(json.dumps({
-        "metric": "1080p_fps_per_chip",
+        "metric": METRIC,
         "value": round(fps, 3),
-        "unit": "frames/sec",
+        "unit": UNIT,
         "vs_baseline": round(fps / 30.0, 3),
     }))
     print(f"# device={jax.devices()[0].device_kind} frames={FRAMES} "
           f"elapsed={elapsed:.2f}s", file=sys.stderr)
+
+
+def main() -> None:
+    from denoise_gan_tpu.utils.backend import (
+        BackendUnavailable, acquire_devices, bench_error_json,
+    )
+
+    try:
+        devices = acquire_devices(
+            retries=int(os.environ.get("BENCH_RETRIES", "3")),
+            backoff_s=float(os.environ.get("BENCH_BACKOFF_S", "20")))
+        print(f"# backend: {devices[0].platform} x{len(devices)}",
+              file=sys.stderr)
+        run_bench()
+    except BackendUnavailable as exc:
+        print(f"# backend acquisition failed after {exc.attempts} attempts",
+              file=sys.stderr)
+        print(bench_error_json(METRIC, UNIT, exc))
+        sys.exit(1)
+    except Exception as exc:  # noqa: BLE001 — structured, not a traceback
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(bench_error_json(METRIC, UNIT, exc))
+        sys.exit(1)
 
 
 if __name__ == "__main__":

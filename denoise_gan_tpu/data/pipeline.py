@@ -117,7 +117,13 @@ class DataPipeline:
             raise FileNotFoundError(f"no images under {cfg.image_dir}")
         # per-host shard (multi-host data parallelism)
         self.paths = paths[process_index::process_count]
-        self.train_size = len(self.paths)
+        # Every host must run the SAME number of steps per epoch: the jitted
+        # global train step, summary program, and Orbax saves are cross-process
+        # collectives, so a host with one extra batch (num_images %
+        # process_count != 0) would deadlock the others.  Truncate every
+        # host's epoch to the all-host minimum shard size, computable locally
+        # as len(all_paths) // process_count (ADVICE r3).
+        self.train_size = len(paths) // process_count
         self._rng = np.random.default_rng(cfg.seed if seed is None else seed)
         self._cache: dict[str, np.ndarray] = {}
         self._cache_enabled = bool(cfg.cache_images)
@@ -146,7 +152,10 @@ class DataPipeline:
     def epoch(self, prefetch: int = 4) -> Iterator[np.ndarray]:
         """One shuffled pass; batches assembled by worker threads and staged
         through a bounded queue so decode overlaps device compute."""
-        order = self._rng.permutation(self.train_size)
+        # Permute over the FULL local shard (may exceed train_size by one
+        # image when the host holds a remainder file); only `steps` batches
+        # are yielded so all hosts stay in lockstep.
+        order = self._rng.permutation(len(self.paths))
         steps = len(self)
         seeds = self._rng.integers(0, 2**63 - 1, size=steps)
         q: queue.Queue = queue.Queue(maxsize=prefetch)

@@ -188,19 +188,29 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
                                plan=plan, **kw2)
 
 
-def _body_sample(body_apply, frame01, height, width, brc,
+def _body_sample(body_apply, frames01, height, width, brc,
                  max_tiles: int = 16):
-    """Body activations on a sample frame's first `max_tiles` tiles — the
-    calibration input for the w8a8 tail."""
+    """Body activations on sample frames' leading tiles — the calibration
+    input for the w8a8 tail.  `frames01` may be one (H, W, 3) frame or a
+    list of them (frames spread across a clip calibrate the static int8
+    activation scales against scene changes, ADVICE r3); tiles are split
+    evenly across frames up to `max_tiles` total."""
+    if not isinstance(frames01, (list, tuple)):
+        frames01 = [frames01]
     ny, nx, cr = plan_grid(height, width, brc)
     m0, tr = 2, cr + 4
     pad_h = (ny - 1) * cr + tr
     pad_w = (nx - 1) * CORE + T
-    x = (jnp.asarray(frame01) * 2.0 - 1.0).astype(jnp.bfloat16)
-    x = jnp.pad(x, ((m0, pad_h - height - m0),
-                    (m0, pad_w - width - m0), (0, 0)), mode="edge")
-    tiles = extract_grid(x, ny, nx, (tr, T), (cr, CORE))[:max_tiles]
-    return jax.jit(body_apply)(tiles)
+    per = max(1, max_tiles // len(frames01))
+    run = jax.jit(body_apply)
+    samples = []
+    for frame01 in frames01:
+        x = (jnp.asarray(frame01) * 2.0 - 1.0).astype(jnp.bfloat16)
+        x = jnp.pad(x, ((m0, pad_h - height - m0),
+                        (m0, pad_w - width - m0), (0, 0)), mode="edge")
+        tiles = extract_grid(x, ny, nx, (tr, T), (cr, CORE))[:per]
+        samples.append(run(tiles))
+    return jnp.concatenate(samples) if len(samples) > 1 else samples[0]
 
 
 def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,

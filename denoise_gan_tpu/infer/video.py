@@ -59,18 +59,26 @@ def get_video_info(video_path: str):
     return num_frames, fps, frame_width, frame_height, fourcc
 
 
-def _peek_first_frame(input_path: str, frame_start: int):
-    """Decode one frame (BGR->RGB [0,1]) for w8a8 calibration without
-    disturbing the streaming reader."""
+def _peek_calib_frames(input_path: str, frame_start: int, n: int = 4):
+    """Decode up to `n` frames spread across the clip (BGR->RGB [0,1]) for
+    w8a8 calibration, without disturbing the streaming reader.  Sampling
+    several scenes (not just the first frame) keeps the static int8
+    activation scales valid through scene changes (ADVICE r3); the
+    calibration also carries a headroom margin (ops/pallas/tail.Q8_MARGIN)."""
     import cv2
     cap = cv2.VideoCapture(input_path)
-    if frame_start:
-        cap.set(cv2.CAP_PROP_POS_FRAMES, frame_start)
-    ok, frame = cap.read()
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    span = max(total - frame_start, 1)
+    positions = sorted({frame_start + (span * k) // n for k in range(n)})
+    frames = []
+    for pos in positions:
+        if pos:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, pos)
+        ok, frame = cap.read()
+        if ok:
+            frames.append(frame[..., ::-1].astype(np.float32) / 255.0)
     cap.release()
-    if not ok:
-        return None
-    return frame[..., ::-1].astype(np.float32) / 255.0
+    return frames or None
 
 
 def _reader(cap, q: queue.Queue, max_frames: int):
@@ -185,16 +193,16 @@ def process_video(args) -> dict:
             engine_bgr = bool(args.output_video)
             bkw["bgr"] = engine_bgr
             if args.q8 != 0:
-                # w8a8 tail (int8 up2/final dots) calibrated on the first
-                # frame — the DEFAULT (--q8 -1 = auto-on): measured vs the
-                # exact whole-frame output it adds ~zero deviation beyond
-                # the bf16 kernel's accepted envelope (fsrgan frac>1
-                # 1.440% -> 1.456%, srgan 0% -> 0%; tools/exp_q8_exact.py)
-                # and is 1.06-1.16x faster (PERF.md r3).  --q8 0 forces the
-                # bf16 tail.
-                calib = _peek_first_frame(input_path, args.frame_start)
+                # w8a8 tail (int8 up2/final dots) calibrated on frames
+                # spread across the clip — the DEFAULT (--q8 -1 = auto-on):
+                # measured vs the exact whole-frame output it adds ~zero
+                # deviation beyond the bf16 kernel's accepted envelope
+                # (fsrgan frac>1 1.440% -> 1.456%, srgan 0% -> 0%;
+                # tools/exp_q8_exact.py) and is 1.06-1.16x faster (PERF.md
+                # r3).  --q8 0 forces the bf16 tail.
+                calib = _peek_calib_frames(input_path, args.frame_start)
                 if calib is not None:
-                    bkw["q8_calib_frame"] = jnp.asarray(calib)
+                    bkw["q8_calib_frame"] = [jnp.asarray(f) for f in calib]
                 elif args.q8 == 1:
                     print("note: --q8 1 ignored — could not decode a "
                           "calibration frame; using the bf16 tail",
@@ -494,12 +502,18 @@ def build_parser() -> ArgumentParser:
                              "cannot be honored)")
     parser.add_argument("--q8", default=-1, type=int,
                         help="w8a8 tail in the fused kernel engine (fsrgan/"
-                             "srgan 4x): int8 up2/final matmuls calibrated "
-                             "on the first frame; <=1 u8 level vs the bf16 "
-                             "kernel and ~zero added deviation vs the exact "
-                             "whole-frame output (PERF.md r3). -1 = auto "
-                             "(on when the kernel engine is used), 0 = "
-                             "force bf16 tail, 1 = require w8a8")
+                             "srgan 4x): int8 up2/final matmuls with STATIC "
+                             "activation scales calibrated on 4 frames "
+                             "spread across the clip (+25%% headroom); <=1 "
+                             "u8 level vs the bf16 kernel and ~zero added "
+                             "deviation vs the exact whole-frame output "
+                             "(PERF.md r3). Caveat: a scene whose "
+                             "activations exceed the calibrated range by "
+                             ">25%% saturates the int8 clip — use --q8 0 "
+                             "(bf16 tail) for clips with extreme dynamic-"
+                             "range jumps. -1 = auto (on when the kernel "
+                             "engine is used), 0 = force bf16 tail, 1 = "
+                             "require w8a8")
     parser.add_argument("--verbose", default=0, type=int)
     return parser
 

@@ -541,11 +541,19 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
     return run
 
 
+# Headroom over the calibration max: activations in later scenes can exceed
+# the sampled frames' range, and the kernel's saturating int8 clip would
+# silently flatten them (ADVICE r3).  1.25x costs ~0.3 u8 level of extra
+# quantization step (well inside the measured <=1-level envelope,
+# tools/exp_q8_exact.py) and absorbs 25% activation growth.
+Q8_MARGIN = 1.25
+
+
 def _q8_setup(tail_params, weights, q8_calib):
     if q8_calib is None:
         return weights, None
-    return prep_weights_q8(weights), calibrate_tail_scales(tail_params,
-                                                           q8_calib)
+    return prep_weights_q8(weights), calibrate_tail_scales(
+        tail_params, q8_calib, margin=Q8_MARGIN)
 
 
 def build_fused_tail(tail_params: Any, ny: int, nx: int, brc: int = 8,

@@ -400,8 +400,9 @@ def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
 def _q8_setup64(tail_params, weights, q8_calib):
     if q8_calib is None:
         return weights, None
+    from denoise_gan_tpu.ops.pallas.tail import Q8_MARGIN
     return prep_weights_srgan_q8(weights), \
-        calibrate_tail_scales(tail_params, q8_calib)
+        calibrate_tail_scales(tail_params, q8_calib, margin=Q8_MARGIN)
 
 
 def build_fused_tail64(tail_params: Any, ny: int, nx: int, brc: int = 15,

@@ -28,6 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
 
+_DIST_INITIALIZED = False
+
 
 def init_distributed() -> None:
     """Initialize JAX's multi-host runtime when launched under a cluster
@@ -39,18 +41,23 @@ def init_distributed() -> None:
     launchers jax's auto-detection doesn't know (e.g. the 2-process
     localhost dryrun, tools/dryrun_multihost.py); on TPU pods the two
     counts are auto-detected when unset."""
+    global _DIST_INITIALIZED
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if not addr:
+    if not addr or _DIST_INITIALIZED:
         return
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized (idempotent, like the reference's L0)
     kwargs = {"coordinator_address": addr}
     if os.environ.get("JAX_NUM_PROCESSES"):
         kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
     if os.environ.get("JAX_PROCESS_ID"):
         kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as exc:
+        # Initialized by an earlier caller (idempotent, like the reference's
+        # L0 prologue); anything else is a real failure.
+        if "already initialized" not in str(exc).lower():
+            raise
+    _DIST_INITIALIZED = True
 
 
 def make_mesh(num_devices: int = 0, space: int = 1,

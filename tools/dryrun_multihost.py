@@ -57,7 +57,10 @@ def child(proc_id: int, nprocs: int, port: int,
     data_dir = os.path.join("/tmp/dryrun_mh", "data", "cls")
     os.makedirs(data_dir, exist_ok=True)
     rng = np.random.default_rng(0)
-    for i in range(8):
+    # 9 files / 2 procs = UNEQUAL shards (5 vs 4): exercises the all-host
+    # minimum step-count truncation — without it the host with 5 files
+    # would run an extra collective step and deadlock (ADVICE r3).
+    for i in range(9):
         p = os.path.join(data_dir, f"im{i}.npy")
         if not os.path.exists(p):
             np.save(p, rng.random((48, 48, 3)).astype(np.float32))
@@ -70,7 +73,9 @@ def child(proc_id: int, nprocs: int, port: int,
     global_bs = cfg.batch_size * nprocs
     pipe = DataPipeline(cfg, seed=123, process_index=proc_id,
                         process_count=nprocs)
-    assert pipe.train_size == 4, pipe.train_size   # per-host file shard
+    # all-host min shard: 9 // 2 = 4 on BOTH hosts (proc 0 holds 5 files)
+    assert pipe.train_size == 4, pipe.train_size
+    assert len(pipe.paths) == (5 if proc_id == 0 else 4), len(pipe.paths)
 
     if train_mode:
         # the REAL trainer under multi-host: per-host pipeline shard,
