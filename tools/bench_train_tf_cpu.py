@@ -248,13 +248,19 @@ def build_pix2pix_discriminator():
 # --------------------------------------------------------------------------
 # train steps
 
-def make_step(family: str, return_gen: bool = False):
-    """Build (step_fn, lr_divisor[, generator]) for a reference family.
+def make_step(family: str, return_gen: bool = False,
+              return_models: bool = False):
+    """Build (step_fn, lr_divisor[, generator[, discriminator]]) for a
+    reference family.
 
     return_gen=True additionally returns the generator model (used by
-    tools/h2h_tf_reference.py to save/eval the trained weights)."""
+    tools/h2h_tf_reference.py to save/eval the trained weights);
+    return_models=True returns generator AND discriminator (matched-init
+    head-to-heads load identical weights into both nets)."""
 
     def _ret(step, lr_div, gen):
+        if return_models:
+            return step, lr_div, gen, disc
         return (step, lr_div, gen) if return_gen else (step, lr_div)
 
     vgg = build_vgg()

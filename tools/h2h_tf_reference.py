@@ -18,10 +18,18 @@ per family (VERDICT r2 #6, BASELINE.md error bars).
 
 Subcommands (run in order; `train` is hours of 1-core CPU, background it):
   pairs       build fixed val pairs (TF oracle) for both (scale, q) configs
+  make_init   fixed-seed Keras gen+disc -> .h5 + converted .dgt: ONE set of
+              initial weights both frameworks start from (--matched_init)
   train       train one TF reference family, save outputs on the val pairs
   train_repo  train the matching repo model (run on the TPU chip)
   score_repo  run a repo .dgt model on the val pairs, save outputs
   report      compute PSNR/SSIM for all saved outputs, print the table
+
+Matched-init head-to-head (VERDICT r3 #3 — identical init on both sides
+removes the GAN init-seed spread; settles srgan/pix2pix parity):
+  make_init --family srgan; train --family srgan --matched_init 1 &
+  train_repo --family srgan --matched_init 1; score_repo ... --matched_init 1
+  report
 """
 
 from __future__ import annotations
@@ -88,6 +96,46 @@ def make_pairs(args) -> None:
         print(f"wrote {out}: lo{lo.shape} hi{hr01.shape}", flush=True)
 
 
+# ------------------------------------------------------------ make_init ----
+
+def _init_paths(out_dir: str, family: str) -> dict[str, str]:
+    base = os.path.join(out_dir, f"init_{family}")
+    return {"gen_h5": base + "_gen.weights.h5",
+            "disc_h5": base + "_disc.weights.h5",
+            "gen_dgt": base + ".dgt", "disc_dgt": base + "_disc.dgt"}
+
+
+def make_init(args) -> None:
+    """Build ONE set of initial weights both frameworks start from
+    (VERDICT r3 #3: identical-init head-to-heads eliminate the GAN init-seed
+    spread): fixed-seed Keras gen+disc -> .h5 -> convert_h5 -> .dgt."""
+    import tensorflow as tf
+    import bench_train_tf_cpu as ref
+    from convert_h5 import convert_keras_model
+    from denoise_gan_tpu.io.checkpoint import export_net
+
+    tf.random.set_seed(args.seed)
+    fam = args.family
+    gen = {"srgan": ref.build_srgan_generator,
+           "fsrgan": ref.build_fsrgan_generator,
+           "autoencoder": ref.build_autoencoder_generator,
+           "pix2pix": ref.build_pix2pix_generator}[fam]()
+    if fam == "pix2pix":
+        disc = ref.build_pix2pix_discriminator()
+    else:
+        disc = ref.build_discriminator(sigmoid=(fam == "autoencoder"))
+    paths = _init_paths(args.out_dir, fam)
+    os.makedirs(args.out_dir, exist_ok=True)
+    gen.save_weights(paths["gen_h5"])
+    disc.save_weights(paths["disc_h5"])
+    cfg = H2H_CFG[fam]
+    for model, role, key in ((gen, "generator", "gen_dgt"),
+                             (disc, "discriminator", "disc_dgt")):
+        params, stats = convert_keras_model(model, fam, role, cfg["scale"])
+        export_net(paths[key], fam, cfg["scale"], params, stats, role=role)
+    print(f"wrote matched-init weights: {sorted(paths.values())}", flush=True)
+
+
 # ---------------------------------------------------------------- train ----
 
 def train_tf(args) -> None:
@@ -112,7 +160,16 @@ def train_tf(args) -> None:
         tf.random.set_seed(args.tfseed)
     rng = np.random.default_rng(args.seed + args.tfseed)
 
-    step_fn, _, gen = make_step(args.family, return_gen=True)
+    step_fn, _, gen, disc = make_step(args.family, return_models=True)
+    if args.matched_init:
+        # identical-init h2h (VERDICT r3 #3): both frameworks start from the
+        # make_init weights; only data order/GAN dynamics differ
+        paths = _init_paths(args.out_dir, args.family)
+        gen.load_weights(paths["gen_h5"])
+        disc.load_weights(paths["disc_h5"])
+        sfx = "_mi" + (sfx if args.tfseed else "")
+        print(f"h2h TF {args.family}: matched init from {paths['gen_h5']}",
+              flush=True)
 
     @tf.function
     def degrade_and_step(hr01):
@@ -193,7 +250,22 @@ def train_repo(args) -> None:
     if args.rseed:
         c.seed = args.rseed
     c.model_name = f"h2h_{args.family}" +         (f"_s{args.rseed}" if args.rseed else "")
+    if args.matched_init:
+        c.model_name += "_mi"
     c.finalize()
+    if args.matched_init:
+        # stage the make_init weights where train()'s --retrain warm start
+        # looks (models/{name}.dgt + _disc.dgt) — identical init to TF
+        import shutil
+        paths = _init_paths(args.out_dir, args.family)
+        os.makedirs("models", exist_ok=True)
+        shutil.copy(paths["gen_dgt"], os.path.join(
+            "models", f"{c.model_name}.dgt"))
+        shutil.copy(paths["disc_dgt"], os.path.join(
+            "models", f"{c.model_name}_disc.dgt"))
+        c.retrain = 1
+        print(f"repo h2h {args.family}: matched init from "
+              f"{paths['gen_dgt']}", flush=True)
     t0 = time.time()
     train(c, args.family)
     print(f"repo train {args.family}: {steps} steps in "
@@ -206,7 +278,8 @@ def score_repo(args) -> None:
     import jax.numpy as jnp
 
     cfg = H2H_CFG[args.family]
-    suffix = f"_s{args.rseed}" if args.rseed else ""
+    suffix = (f"_s{args.rseed}" if args.rseed else "") + \
+        ("_mi" if args.matched_init else "")
     model = args.model or os.path.join(
         "models", f"h2h_{args.family}{suffix}.dgt")
     _, _, forward = build_forward(model, fast=False)
@@ -274,12 +347,27 @@ def report(args) -> None:
                 print(f"| {fam} (TF seed {s}) | {cfg['scale']}x/q{cfg['q']} "
                       f"| {cfg['steps']} |  | {pv:.2f} / {sv:.4f} |  "
                       f"| vs TF-s1: {pv-pt:+.2f} | {sv-st:+.4f} |")
+        # matched-init pair (VERDICT r3 #3): both sides started from the
+        # SAME make_init weights — the gap here is framework dynamics only
+        rmi = os.path.join(args.out_dir, f"out_repo_{fam}_mi.npz")
+        tmi = os.path.join(args.out_dir, f"out_tf_{fam}_mi.npz")
+        if os.path.exists(rmi) and os.path.exists(tmi):
+            pr2, sr2 = score(np.load(rmi)["out01"], hi01)
+            pt2, st2 = score(np.load(tmi)["out01"], hi01)
+            print(f"| {fam} (matched init) | {cfg['scale']}x/q{cfg['q']} "
+                  f"| {cfg['steps']} | {pr2:.2f} / {sr2:.4f} "
+                  f"| {pt2:.2f} / {st2:.4f} |  "
+                  f"| **{pr2-pt2:+.2f}** | **{sr2-st2:+.4f}** |")
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("cmd", choices=["pairs", "train", "train_repo",
-                                   "score_repo", "report"])
+    p.add_argument("cmd", choices=["pairs", "make_init", "train",
+                                   "train_repo", "score_repo", "report"])
+    p.add_argument("--matched_init", type=int, default=0,
+                   help="1 = start from the make_init weights (identical "
+                        "init on both sides, VERDICT r3 #3); suffixes "
+                        "outputs _mi")
     p.add_argument("--family", default="")
     p.add_argument("--data_root", default="/tmp/h2h_r3/qdata")
     p.add_argument("--out_dir", default="/tmp/h2h_r3")
@@ -294,8 +382,9 @@ def main():
                         "Keras inits + data sampling and suffixes outputs "
                         "_N for the GAN-variance study")
     args = p.parse_args()
-    dict(pairs=make_pairs, train=train_tf, train_repo=train_repo,
-         score_repo=score_repo, report=report)[args.cmd](args)
+    dict(pairs=make_pairs, make_init=make_init, train=train_tf,
+         train_repo=train_repo, score_repo=score_repo,
+         report=report)[args.cmd](args)
 
 
 if __name__ == "__main__":
