@@ -98,7 +98,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--output_dir", type=str,
                         help="Directory where to output high res images.")
     parser.add_argument("--model", default="./models/autoencoder.dgt",
-                        type=str, help="Path to model export (.dgt).")
+                        type=str,
+                        help="Path to a model artifact: .dgt export or a "
+                             "reference Keras .h5 (converted on load)")
     parser.add_argument("--input_range", default="unit",
                         choices=("unit", "tanh"),
                         help="unit=[0,1] input (reference quirk), tanh=[-1,1]")

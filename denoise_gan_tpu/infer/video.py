@@ -457,7 +457,8 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--output_video", default="./video_out/out.mp4",
                         type=str, help="Path to output high res video.")
     parser.add_argument("--model", default="./models/fsrgan.dgt", type=str,
-                        help="Path to model export (.dgt).")
+                        help="Path to a model artifact: .dgt export or a "
+                             "reference Keras .h5 (converted on load)")
     parser.add_argument("--frame_start", default=0, type=int)
     parser.add_argument("--max_frames", default=0, type=int)
     parser.add_argument("--tile", default=-1, type=int,

@@ -116,8 +116,17 @@ def load_export_into(path: str, params_template: Any,
 
 def load_generator(path: str) -> tuple[dict, Any, Any]:
     """Returns (config_dict, params, batch_stats); rebuild the module with
-    models.build_models(config['family'], config['scale'])."""
+    models.build_models(config['family'], config['scale']).
+
+    Accepts BOTH artifact formats: `.dgt` exports and the reference's Keras
+    `.h5` saves (sniffed by HDF5 magic and converted on the fly,
+    io/keras_h5.py) — `infer.py --model fsrgan.h5` works as in the
+    reference (/root/reference/infer.py:40-43)."""
     from denoise_gan_tpu.models import build_models  # local: avoid cycle
+
+    from denoise_gan_tpu.io.keras_h5 import is_hdf5, load_h5_generator
+    if is_hdf5(path):
+        return load_h5_generator(path)
 
     config, payload = read_export(path)
     if config.get("role", "generator") != "generator":

@@ -26,8 +26,12 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 tf = pytest.importorskip("tensorflow")
 
 import bench_train_tf_cpu as ref                      # noqa: E402
-from convert_h5 import convert_keras_model, load_keras  # noqa: E402
+from convert_h5 import load_records                   # noqa: E402
 
+from denoise_gan_tpu.io.keras_h5 import (             # noqa: E402
+    convert_keras_model, convert_records, infer_family_role,
+    keras_weight_stream,
+)
 from denoise_gan_tpu.models import build_models       # noqa: E402
 
 GEN_BUILDERS = {
@@ -43,11 +47,11 @@ IN_SIZE = {"fsrgan": 24, "srgan": 24, "autoencoder": 64, "pix2pix": 256}
 
 
 def _convert_via_h5(model, tmp_path, family, role):
-    """Full surface: Keras save -> .h5 on disk -> load_keras -> convert."""
+    """Full surface: Keras save -> .h5 on disk -> load_records -> convert."""
     path = str(tmp_path / f"{family}_{role}.h5")
     model.save(path)
-    reloaded = load_keras(path, family, role)
-    return convert_keras_model(reloaded, family, role, SCALE[family])
+    records = load_records(path, family, role)
+    return convert_records(records, family, role, SCALE[family])
 
 
 @pytest.mark.parametrize("family", ["fsrgan", "srgan", "autoencoder",
@@ -100,6 +104,40 @@ def test_pix2pix_discriminator_h5_forward_parity(tmp_path, rng):
         {"params": params, "batch_stats": stats}, jnp.asarray(a),
         jnp.asarray(b), train=False))
     assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_infer_family_role_identifies_every_graph():
+    """Family auto-detection from the weight-kind stream alone (full-model
+    .h5s carry no framework-legible family tag)."""
+    for family, builder in GEN_BUILDERS.items():
+        got = infer_family_role(keras_weight_stream(builder()))
+        assert got == (family, "generator", SCALE[family])
+    assert infer_family_role(keras_weight_stream(
+        ref.build_pix2pix_discriminator())) == ("pix2pix", "discriminator", 1)
+    fam, role, _ = infer_family_role(keras_weight_stream(
+        ref.build_discriminator()))
+    assert role == "discriminator"
+
+
+def test_load_generator_consumes_h5_directly(tmp_path, rng):
+    """The reference CLI surface: --model path/to/model.h5 must work without
+    a conversion step (/root/reference/infer.py:40-43) — load_generator
+    sniffs HDF5 and converts on the fly."""
+    from denoise_gan_tpu.io.checkpoint import load_generator
+
+    keras_model = GEN_BUILDERS["fsrgan"]()
+    path = str(tmp_path / "gen.h5")
+    keras_model.save(path)
+    config, params, stats = load_generator(path)
+    assert config["family"] == "fsrgan" and config["scale"] == 4
+
+    x = rng.uniform(-1, 1, (1, 24, 24, 3)).astype(np.float32)
+    want = keras_model(tf.constant(x), training=False).numpy()
+    bundle = build_models("fsrgan", scale=4)
+    got = np.asarray(bundle.generator.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        train=False))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 

@@ -111,7 +111,7 @@ def make_init(args) -> None:
     spread): fixed-seed Keras gen+disc -> .h5 -> convert_h5 -> .dgt."""
     import tensorflow as tf
     import bench_train_tf_cpu as ref
-    from convert_h5 import convert_keras_model
+    from denoise_gan_tpu.io.keras_h5 import convert_keras_model
     from denoise_gan_tpu.io.checkpoint import export_net
 
     tf.random.set_seed(args.seed)
