@@ -74,7 +74,8 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
                         interpret: bool = False,
                         plan: tuple[int, int, int] | None = None,
                         tail_builders=None, jit_compile: bool = True,
-                        q8_calib=None, bgr: bool = False):
+                        q8_calib=None, bgr: bool = False,
+                        qh8: bool = False):
     """body_apply: (N, TR, T, 3) [-1,1] -> (N, TR, T, 32) bf16 body features.
     Returns fn(frame01 (H, W, 3)) ->
     * out_uint8 (default): the kernel's raw (ny*CR, 4, nx, CORE, 12) uint8
@@ -98,6 +99,9 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
     mk_canvas, mk_u8 = tail_builders or (build_fused_tail,
                                          build_fused_tail_u8)
     qkw = {} if q8_calib is None else {"q8_calib": q8_calib}
+    if q8_calib is not None and qh8:
+        # int8 h3 DMA + w8a8 up1 on top of the w8a8 tail (VERDICT r3 #4a/c)
+        qkw["qh8"] = True
     if u8_path:
         # bgr: the kernel's u8 epilogue emits BGR byte order directly (a
         # free Seo column permutation) — what cv2's writer consumes; saves
@@ -156,7 +160,8 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
                                brc: int | None = None, prep: str = "conv",
                                interpret: bool = False,
                                plan: tuple[int, int, int] | None = None,
-                               q8_calib_frame=None, **kw):
+                               q8_calib_frame=None, qh8: bool = False,
+                               **kw):
     """Convenience: wire the FSRGAN body (XLA, bf16) to the fused tail.
 
     q8_calib_frame: an (H, W, 3) [0,1] sample frame — runs the body once on
@@ -183,6 +188,7 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
     if q8_calib_frame is not None:
         kw2["q8_calib"] = _body_sample(body_apply, q8_calib_frame,
                                        height, width, brc)
+        kw2["qh8"] = qh8
     return build_kernel_engine(body_apply, params["tail"], height, width,
                                brc=brc, prep=prep, interpret=interpret,
                                plan=plan, **kw2)
@@ -217,7 +223,8 @@ def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,
                               brc: int | None = None, prep: str = "conv",
                               interpret: bool = False,
                               plan: tuple[int, int, int] | None = None,
-                              q8_calib_frame=None, **kw):
+                              q8_calib_frame=None, qh8: bool = False,
+                              **kw):
     """SRGAN 4x variant: 16-resblock body (XLA, bf16) + the CIN=64 fused
     tail kernel (ops/pallas/tail_srgan.py).  Same geometry and output
     contracts (and q8_calib_frame option) as the FSRGAN engine.
@@ -243,6 +250,7 @@ def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,
     if q8_calib_frame is not None:
         kw2["q8_calib"] = _body_sample(body_apply, q8_calib_frame,
                                        height, width, brc)
+        kw2["qh8"] = qh8
     return build_kernel_engine(
         body_apply, params["tail"], height, width, brc=brc, prep=prep,
         interpret=interpret, plan=plan,

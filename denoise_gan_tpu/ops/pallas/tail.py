@@ -164,6 +164,55 @@ def prep_weights_q8(weights: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def calibrate_h_scales(h_sample: jax.Array,
+                       margin: float = 1.0) -> np.ndarray:
+    """Per-channel int8 step sizes for the BODY OUTPUT h (the qh8 tail input,
+    VERDICT r3 #4a): sH[c] = max|h[..., c]| * margin / 127 over the sample
+    tiles.  Per-channel (not per-tensor) because the 32 body channels span
+    very different ranges post-BN; the channel scale folds into W1's K rows
+    before W1's own per-column quantization."""
+    m = np.asarray(jnp.max(jnp.abs(h_sample.astype(jnp.float32)),
+                           axis=tuple(range(h_sample.ndim - 1))))
+    return np.maximum(m * margin / 127.0, 1e-9).astype(np.float32)
+
+
+def prep_weights_qh8(weights: dict[str, np.ndarray],
+                     sH: np.ndarray) -> dict[str, np.ndarray]:
+    """Extend prep_weights_q8() output with the w8 form of the up1 matmul for
+    the int8-h3 path: fold the per-channel h scales into W1m's K rows
+    (sum_k W1[k,n] x[k] == sum_k (W1[k,n]*sH[k]) (x[k]/sH[k])), then
+    symmetric per-output-channel int8."""
+    out = dict(weights)
+    W1m = weights["W1m"]                                   # (288, 128)
+    cin = sH.shape[0]
+    W1f = W1m * np.tile(sH, W1m.shape[0] // cin)[:, None]
+    s1 = np.abs(W1f).max(axis=0, keepdims=True) / 127.0 + 1e-12
+    out["W1q"] = np.clip(np.round(W1f / s1), -127, 127).astype(np.int8)
+    out["s1n"] = s1.reshape(128, 1)
+    out["sH"] = np.asarray(sH, np.float32)
+    return out
+
+
+def make_h3_q8(h_tiles: jax.Array, sH, prep: str = "transpose",
+               cin: int = CIN) -> jax.Array:
+    """make_h3 with a fused per-channel int8 quantization epilogue: the
+    kernel's h3 DMA (the largest tail input) moves HALF the bytes of bf16.
+    Rounding runs in f32 so the int grid is exact."""
+    n, tr = h_tiles.shape[0], h_tiles.shape[1]
+    hb = h_tiles.astype(jnp.bfloat16)
+    hp = jnp.pad(hb, ((0, 0), (3, 3), (1, 3), (0, 0)))     # (N,TR+6,128,cin)
+    if prep == "conv":
+        eye = jnp.eye(cin, dtype=jnp.bfloat16).reshape(1, 1, cin, cin)
+        ht = jax.lax.conv_general_dilated(
+            hp, eye, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NCHW"))    # (N,cin,TR+6,128)
+    else:
+        ht = hp.transpose(0, 3, 1, 2)
+    inv = jnp.asarray(1.0 / np.asarray(sH), jnp.float32).reshape(1, cin, 1, 1)
+    q = jnp.clip(jnp.round(ht.astype(jnp.float32) * inv), -127.0, 127.0)
+    return q.astype(jnp.int8).reshape(n, cin, (tr + 6) * 128)
+
+
 def calibrate_tail_scales(tail_params: Any, h_sample: jax.Array,
                           margin: float = 1.0) -> tuple[float, float]:
     """Static activation scales for the w8a8 tail: run the plain tail math
@@ -241,7 +290,7 @@ def _dot_kn(w, x):
 def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                  w3_ref, b3_ref, seo_ref, *rest,
                  brc: int, core_rows: int, n_tiles: int, u8_out: bool,
-                 stage: int = 5, q8: bool = False,
+                 stage: int = 5, q8: bool = False, qh8: bool = False,
                  inv_su1: float = 0.0, inv_sr: float = 0.0):
     """Grid = (tiles, row bands); the out block is per BAND (a whole-tile u8
     block would pay the 12->128 lane pad x2 in VMEM: 16.6MB at 1080p).  The
@@ -257,7 +306,15 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
     dequant scale products are folded into the existing bias/PReLU
     epilogues.  up1 and the u8 epilogue stay bf16/f32.  pltpu.roll needs
     32-bit data, so rolled operands are rolled in f32 then quantized."""
-    if q8:
+    if qh8:
+        # q8 + int8 h3 DMA + w8a8 up1 (VERDICT r3 #4a/#4c): the h3 tile DMA
+        # (the largest tail input) moves half the bytes; up1 runs on the
+        # int8 MXU with the per-channel h scales pre-folded into W1q.
+        w2q_ref, s2_ref, w3q_ref, s3_ref, s1_ref = rest[0:5]
+        out_ref = rest[5]
+        h3x2, hroll, x1, u1, u1qr, x2q, r_buf, rq, x3q, sems = rest[6:]
+        assert q8 and stage >= 5, "qh8 extends the q8 production kernel"
+    elif q8:
         w2q_ref, s2_ref, w3q_ref, s3_ref = rest[0:4]
         out_ref = rest[4]
         h3x2, hroll, x1, u1, u1qr, x2q, r_buf, rq, x3q, sems = rest[5:]
@@ -294,10 +351,13 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
 
         h3v = h3x2.at[slot]
         # dc column taps as whole-tile lane shifts: X1[l=col] = h[col+dc-1]
-        # = h_lane(l + dc); roll(x, L-s): out[l] = in[l+s]
+        # = h_lane(l + dc); roll(x, L-s): out[l] = in[l+s].  pltpu.roll
+        # needs 32-bit data; for qh8 the f32->int8 recast is exact (the
+        # values are integers in [-127, 127]).
+        rolled = jnp.int8 if qh8 else jnp.bfloat16
         hf = h3v[:].astype(jnp.float32)
-        hroll[0] = pltpu.roll(hf, lh - 1, 1).astype(jnp.bfloat16)
-        hroll[1] = pltpu.roll(hf, lh - 2, 1).astype(jnp.bfloat16)
+        hroll[0] = pltpu.roll(hf, lh - 1, 1).astype(rolled)
+        hroll[1] = pltpu.roll(hf, lh - 2, 1).astype(rolled)
 
     h3 = h3x2.at[slot]
     if stage >= 1:
@@ -310,7 +370,13 @@ def _tail_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                 src = h3 if dc == 0 else hroll.at[dc - 1]
                 x1[(dr * 3 + dc) * CIN:(dr * 3 + dc + 1) * CIN, :] = \
                     src[:, pl.ds(off1, m1)]
-        v = _dot_kn(w1_ref[:], x1[:]) + b1_ref[:]          # (128, M1)
+        if qh8:
+            v32 = jax.lax.dot_general(
+                w1_ref[:], x1[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)          # (128, M1)
+            v = v32.astype(jnp.float32) * s1_ref[:] + b1_ref[:]
+        else:
+            v = _dot_kn(w1_ref[:], x1[:]) + b1_ref[:]      # (128, M1)
         u1[:] = jnp.where(v >= 0, v, a1_ref[:] * v)        # PReLU, f32
     if stage == 1:      # ablation: keep up1 alive (tools/exp_tail_ablate)
         out_ref[:, 0] = (u1[0:brc, 0:128][:, :, None]
@@ -428,21 +494,27 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
                     brc: int = 8, core_rows: int = CORE,
                     u8_out: bool = False, interpret: bool = False,
                     stage: int = 5,
-                    q8_scales: tuple[float, float] | None = None):
-    """Returns fn(h3 (N, 32, (core_rows+10)*128) bf16) ->
+                    q8_scales: tuple[float, float] | None = None,
+                    qh8: bool = False):
+    """Returns fn(h3 (N, 32, (core_rows+10)*128) bf16 — int8 when qh8) ->
     * u8_out=False: canvas (ny*core_rows, nx, 128, 48) bf16 (real cols at
       lane [3:123) of each chunk)
     * u8_out=True:  (ny*core_rows, 4, nx, 120, 12) uint8 — reshapes for free
       to the flat (ny*core_rows*4, nx*120*12) byte layout.
     q8_scales=(su1, sr) (calibrate_tail_scales) switches the up2/final dots
-    to w8a8 int8 (weights from prep_weights_q8)."""
+    to w8a8 int8 (weights from prep_weights_q8); qh8=True additionally takes
+    int8 h3 (make_h3_q8 + prep_weights_qh8) and runs up1 w8a8."""
     assert core_rows % brc == 0
     q8 = q8_scales is not None
+    assert not qh8 or q8, "qh8 extends the q8 kernel"
     n_tiles = ny * nx
     tr = core_rows + 4
     m1, m2, m3 = (brc + 4) * 128, (brc + 2) * 128, brc * 128
 
-    w1 = jnp.asarray(weights["W1m"], jnp.bfloat16)
+    if qh8:
+        w1 = jnp.asarray(weights["W1q"], jnp.int8)
+    else:
+        w1 = jnp.asarray(weights["W1m"], jnp.bfloat16)
     b1 = jnp.asarray(weights["b1"], jnp.float32)
     a1 = jnp.asarray(weights["alpha1"], jnp.float32)
     w2 = jnp.asarray(weights["W2p"], jnp.bfloat16)
@@ -460,10 +532,13 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
                 jnp.asarray(weights["s2n"] * su1, jnp.float32),
                 jnp.asarray(weights["W3q"], jnp.int8),
                 jnp.asarray(weights["s3n"] * sr, jnp.float32)]
+        if qh8:
+            q_in.append(jnp.asarray(weights["s1n"], jnp.float32))
 
     kernel = functools.partial(_tail_kernel, brc=brc, core_rows=core_rows,
                                n_tiles=n_tiles, u8_out=u8_out, stage=stage,
-                               q8=q8, inv_su1=inv_su1, inv_sr=inv_sr)
+                               q8=q8, qh8=qh8, inv_su1=inv_su1,
+                               inv_sr=inv_sr)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),    # h3 stays in HBM; manual DMA
@@ -496,10 +571,11 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
                                          jnp.bfloat16)
 
     if q8:
+        hdt = jnp.int8 if qh8 else jnp.bfloat16
         scratches = [
-            pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h3 x2
-            pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h rolled
-            pltpu.VMEM((9 * CIN, m1), jnp.bfloat16),       # X1
+            pltpu.VMEM((2, CIN, (tr + 6) * 128), hdt),     # h3 x2
+            pltpu.VMEM((2, CIN, (tr + 6) * 128), hdt),     # h rolled
+            pltpu.VMEM((9 * CIN, m1), hdt),                # X1
             pltpu.VMEM((128, m1), jnp.float32),            # U1
             pltpu.VMEM((3, 128, m1), jnp.int8),            # U1 quant x3
             pltpu.VMEM((12 * CIN, m2), jnp.int8),          # X2 quant
@@ -549,26 +625,38 @@ def build_tail_call(weights: dict[str, np.ndarray], ny: int, nx: int,
 Q8_MARGIN = 1.25
 
 
-def _q8_setup(tail_params, weights, q8_calib):
+def _q8_setup(tail_params, weights, q8_calib, qh8: bool = False):
+    """Returns (weights, q8_scales, sH): sH is the per-channel h3 int8 step
+    vector when qh8, else None."""
     if q8_calib is None:
-        return weights, None
-    return prep_weights_q8(weights), calibrate_tail_scales(
-        tail_params, q8_calib, margin=Q8_MARGIN)
+        return weights, None, None
+    weights = prep_weights_q8(weights)
+    scales = calibrate_tail_scales(tail_params, q8_calib, margin=Q8_MARGIN)
+    sH = None
+    if qh8:
+        sH = calibrate_h_scales(q8_calib, margin=Q8_MARGIN)
+        weights = prep_weights_qh8(weights, sH)
+    return weights, scales, sH
 
 
 def build_fused_tail(tail_params: Any, ny: int, nx: int, brc: int = 8,
                      core_rows: int = CORE, interpret: bool = False,
-                     prep: str = "transpose", q8_calib=None):
+                     prep: str = "transpose", q8_calib=None,
+                     qh8: bool = False):
     """fn(h_tiles (ny*nx, core_rows+4, T, 32)) ->
     (ny*core_rows, nx*CORE, 48) bf16 [-1,1] phase-canonical crop-stitched
-    canvas.  q8_calib: sample body-output tiles -> w8a8 up2/final dots."""
+    canvas.  q8_calib: sample body-output tiles -> w8a8 up2/final dots;
+    qh8 additionally int8-quantizes the h3 DMA + runs up1 w8a8."""
     weights = prep_weights(tail_params)
-    weights, q8_scales = _q8_setup(tail_params, weights, q8_calib)
+    weights, q8_scales, sH = _q8_setup(tail_params, weights, q8_calib, qh8)
     call = build_tail_call(weights, ny, nx, brc, core_rows,
-                           interpret=interpret, q8_scales=q8_scales)
+                           interpret=interpret, q8_scales=q8_scales,
+                           qh8=sH is not None)
 
     def run(h_tiles):
-        canvas = call(make_h3(h_tiles, prep))
+        h3 = (make_h3_q8(h_tiles, sH, prep) if sH is not None
+              else make_h3(h_tiles, prep))
+        canvas = call(h3)
         return canvas[:, :, 3:123, :].reshape(ny * core_rows, nx * CORE, 48)
 
     return run
@@ -577,7 +665,8 @@ def build_fused_tail(tail_params: Any, ny: int, nx: int, brc: int = 8,
 def build_fused_tail_u8(tail_params: Any, ny: int, nx: int, brc: int = 8,
                         core_rows: int = CORE, interpret: bool = False,
                         prep: str = "transpose", flat: bool = True,
-                        q8_calib=None, bgr: bool = False):
+                        q8_calib=None, bgr: bool = False,
+                        qh8: bool = False):
     """fn(h_tiles (ny*nx, core_rows+4, T, 32)) -> uint8 fine image bytes.
 
     flat=True: (ny*core_rows*4, nx*CORE*12) — the flat byte layout of the
@@ -595,12 +684,15 @@ def build_fused_tail_u8(tail_params: Any, ny: int, nx: int, brc: int = 8,
 
     bgr=True: bytes come out BGR-ordered (see prep_weights)."""
     weights = prep_weights(tail_params, bgr=bgr)
-    weights, q8_scales = _q8_setup(tail_params, weights, q8_calib)
+    weights, q8_scales, sH = _q8_setup(tail_params, weights, q8_calib, qh8)
     call = build_tail_call(weights, ny, nx, brc, core_rows, u8_out=True,
-                           interpret=interpret, q8_scales=q8_scales)
+                           interpret=interpret, q8_scales=q8_scales,
+                           qh8=sH is not None)
 
     def run(h_tiles):
-        out = call(make_h3(h_tiles, prep))
+        h3 = (make_h3_q8(h_tiles, sH, prep) if sH is not None
+              else make_h3(h_tiles, prep))
+        out = call(h3)
         if flat:
             return out.reshape(ny * core_rows * 4, nx * CORE * 12)
         return out

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from denoise_gan_tpu.ops.pallas.tail import (
-    CORE, T, calibrate_tail_scales, make_h3,
+    CORE, T, calibrate_h_scales, calibrate_tail_scales, make_h3, make_h3_q8,
 )
 
 CIN = 64
@@ -126,6 +126,19 @@ def prep_weights_srgan_q8(weights):
     return out
 
 
+def prep_weights_srgan_qh8(weights, sH):
+    """w8 form of the up1 matmul for the int8-h3 path (same channel-scale
+    folding as tail.prep_weights_qh8; VERDICT r3 #4a/#4c)."""
+    out = dict(weights)
+    W1m = weights["W1m"]                                   # (576, 256)
+    W1f = W1m * np.tile(sH, W1m.shape[0] // CIN)[:, None]
+    s1 = np.abs(W1f).max(axis=0, keepdims=True) / 127.0 + 1e-12
+    out["W1q"] = np.clip(np.round(W1f / s1), -127, 127).astype(np.int8)
+    out["s1n"] = s1.reshape(256, 1)
+    out["sH"] = np.asarray(sH, np.float32)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # kernel
 
@@ -138,14 +151,20 @@ def _dot_kn(w, x):
 def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                    w3_ref, b3_ref, seo_ref, *rest,
                    brc: int, core_rows: int, n_tiles: int, u8_out: bool,
-                   stage: int = 5, q8: bool = False,
+                   stage: int = 5, q8: bool = False, qh8: bool = False,
                    inv_su1: float = 0.0, inv_sr: float = 0.0):
     """Grid = (tiles, row bands); same band/DMA structure and lane
     conventions as tail.py's _tail_kernel (h: lane = col + 1; U1: lane =
     col; R/X3: lane = col + 1; output: real cols at lane [3:123)).
     q8: w8a8 up2/final dots, same scheme as tail.py (the final 1x1 pack
-    has no lane rolls here, so X3 assembles from pure i8 slices)."""
-    if q8:
+    has no lane rolls here, so X3 assembles from pure i8 slices).
+    qh8: additionally int8 h3 DMA + w8a8 up1 (VERDICT r3 #4a/#4c)."""
+    if qh8:
+        w2q_ref, s2_ref, w3q_ref, s3_ref, s1_ref = rest[0:5]
+        out_ref = rest[5]
+        h3x2, hroll, x1, u1, u1qr, x2q, r_buf, rq, x3q, sems = rest[6:]
+        assert q8 and stage >= 5, "qh8 extends the q8 production kernel"
+    elif q8:
         w2q_ref, s2_ref, w3q_ref, s3_ref = rest[0:4]
         out_ref = rest[4]
         h3x2, hroll, x1, u1, u1qr, x2q, r_buf, rq, x3q, sems = rest[5:]
@@ -180,9 +199,12 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
             pltpu.make_async_copy(h3_hbm.at[n + 1], h3x2.at[1 - slot],
                                   sems.at[1 - slot]).start()
 
+        # qh8: the f32->int8 recast after the 32-bit roll is exact (integer
+        # values in [-127, 127])
+        rolled = jnp.int8 if qh8 else jnp.bfloat16
         hf = h3x2[slot].astype(jnp.float32)
-        hroll[0] = pltpu.roll(hf, lh - 1, 1).astype(jnp.bfloat16)
-        hroll[1] = pltpu.roll(hf, lh - 2, 1).astype(jnp.bfloat16)
+        hroll[0] = pltpu.roll(hf, lh - 1, 1).astype(rolled)
+        hroll[1] = pltpu.roll(hf, lh - 2, 1).astype(rolled)
 
     h3 = h3x2.at[slot]
     base = b * brc + 2
@@ -200,7 +222,13 @@ def _tail64_kernel(h3_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
                 src = h3 if dc == 0 else hroll.at[dc - 1]
                 x1[(dr * 3 + dc) * CIN:(dr * 3 + dc + 1) * CIN, :] = \
                     src[:, pl.ds(off1, m1)]
-        v = _dot_kn(w1_ref[:], x1[:]) + b1_ref[:]          # (256, M1)
+        if qh8:
+            v32 = jax.lax.dot_general(
+                w1_ref[:], x1[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)          # (256, M1)
+            v = v32.astype(jnp.float32) * s1_ref[:] + b1_ref[:]
+        else:
+            v = _dot_kn(w1_ref[:], x1[:]) + b1_ref[:]      # (256, M1)
         u1[:] = jnp.where(v >= 0, v, a1_ref[:] * v)        # PReLU, f32
     if stage == 1:
         return _probe(u1[:])
@@ -300,16 +328,22 @@ def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
                       brc: int = 15, core_rows: int = CORE,
                       u8_out: bool = False, interpret: bool = False,
                       stage: int = 5,
-                      q8_scales: tuple[float, float] | None = None):
-    """Returns fn(h3 (N, 64, (core_rows+10)*128) bf16) -> canvas
-    (ny*core_rows, nx, 128, 48) bf16 or (ny*core_rows, 4, nx, 120, 12) u8
-    (same contracts as tail.py's build_tail_call)."""
+                      q8_scales: tuple[float, float] | None = None,
+                      qh8: bool = False):
+    """Returns fn(h3 (N, 64, (core_rows+10)*128) bf16 — int8 when qh8) ->
+    canvas (ny*core_rows, nx, 128, 48) bf16 or
+    (ny*core_rows, 4, nx, 120, 12) u8 (same contracts as tail.py's
+    build_tail_call)."""
     assert core_rows % brc == 0
+    assert not qh8 or q8_scales is not None, "qh8 extends the q8 kernel"
     n_tiles = ny * nx
     tr = core_rows + 4
     m1, m2, m3 = (brc + 4) * 128, (brc + 2) * 128, brc * 128
 
-    w1 = jnp.asarray(weights["W1m"], jnp.bfloat16)
+    if qh8:
+        w1 = jnp.asarray(weights["W1q"], jnp.int8)
+    else:
+        w1 = jnp.asarray(weights["W1m"], jnp.bfloat16)
     b1 = jnp.asarray(weights["b1"], jnp.float32)
     a1 = jnp.asarray(weights["alpha1"], jnp.float32)
     w2 = jnp.asarray(weights["W2p"], jnp.bfloat16)
@@ -328,10 +362,13 @@ def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
                 jnp.asarray(weights["s2n"] * su1, jnp.float32),
                 jnp.asarray(weights["W3q"], jnp.int8),
                 jnp.asarray(weights["s3n"] * sr, jnp.float32)]
+        if qh8:
+            q_in.append(jnp.asarray(weights["s1n"], jnp.float32))
 
     kernel = functools.partial(_tail64_kernel, brc=brc, core_rows=core_rows,
                                n_tiles=n_tiles, u8_out=u8_out, stage=stage,
-                               q8=q8, inv_su1=inv_su1, inv_sr=inv_sr)
+                               q8=q8, qh8=qh8, inv_su1=inv_su1,
+                               inv_sr=inv_sr)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + \
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + len(q_in))
@@ -354,10 +391,11 @@ def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
                                          jnp.bfloat16)
 
     if q8:
+        hdt = jnp.int8 if qh8 else jnp.bfloat16
         scratches = [
-            pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h3 x2
-            pltpu.VMEM((2, CIN, (tr + 6) * 128), jnp.bfloat16),  # h rolled
-            pltpu.VMEM((9 * CIN, m1), jnp.bfloat16),       # X1
+            pltpu.VMEM((2, CIN, (tr + 6) * 128), hdt),     # h3 x2
+            pltpu.VMEM((2, CIN, (tr + 6) * 128), hdt),     # h rolled
+            pltpu.VMEM((9 * CIN, m1), hdt),                # X1
             pltpu.VMEM((256, m1), jnp.float32),            # U1
             pltpu.VMEM((3, 256, m1), jnp.int8),            # U1 quant x3
             pltpu.VMEM((9 * CIN, m2), jnp.int8),           # X2 quant
@@ -397,26 +435,35 @@ def build_tail64_call(weights: dict[str, np.ndarray], ny: int, nx: int,
     return run
 
 
-def _q8_setup64(tail_params, weights, q8_calib):
+def _q8_setup64(tail_params, weights, q8_calib, qh8: bool = False):
     if q8_calib is None:
-        return weights, None
+        return weights, None, None
     from denoise_gan_tpu.ops.pallas.tail import Q8_MARGIN
-    return prep_weights_srgan_q8(weights), \
-        calibrate_tail_scales(tail_params, q8_calib, margin=Q8_MARGIN)
+    weights = prep_weights_srgan_q8(weights)
+    scales = calibrate_tail_scales(tail_params, q8_calib, margin=Q8_MARGIN)
+    sH = None
+    if qh8:
+        sH = calibrate_h_scales(q8_calib, margin=Q8_MARGIN)
+        weights = prep_weights_srgan_qh8(weights, sH)
+    return weights, scales, sH
 
 
 def build_fused_tail64(tail_params: Any, ny: int, nx: int, brc: int = 15,
                        core_rows: int = CORE, interpret: bool = False,
-                       prep: str = "transpose", q8_calib=None):
+                       prep: str = "transpose", q8_calib=None,
+                       qh8: bool = False):
     """fn(h_tiles (ny*nx, core_rows+4, T, 64)) ->
     (ny*core_rows, nx*CORE, 48) bf16 phase-canonical crop-stitched canvas."""
     weights = prep_weights_srgan(tail_params)
-    weights, q8_scales = _q8_setup64(tail_params, weights, q8_calib)
+    weights, q8_scales, sH = _q8_setup64(tail_params, weights, q8_calib, qh8)
     call = build_tail64_call(weights, ny, nx, brc, core_rows,
-                             interpret=interpret, q8_scales=q8_scales)
+                             interpret=interpret, q8_scales=q8_scales,
+                             qh8=sH is not None)
 
     def run(h_tiles):
-        canvas = call(make_h3(h_tiles, prep, cin=CIN))
+        h3 = (make_h3_q8(h_tiles, sH, prep, cin=CIN) if sH is not None
+              else make_h3(h_tiles, prep, cin=CIN))
+        canvas = call(h3)
         return canvas[:, :, 3:123, :].reshape(ny * core_rows, nx * CORE, 48)
 
     return run
@@ -425,16 +472,20 @@ def build_fused_tail64(tail_params: Any, ny: int, nx: int, brc: int = 15,
 def build_fused_tail64_u8(tail_params: Any, ny: int, nx: int, brc: int = 15,
                           core_rows: int = CORE, interpret: bool = False,
                           prep: str = "transpose", flat: bool = False,
-                          q8_calib=None, bgr: bool = False):
+                          q8_calib=None, bgr: bool = False,
+                          qh8: bool = False):
     """fn(h_tiles (ny*nx, core_rows+4, T, 64)) -> uint8 fine image bytes
     (see tail.py build_fused_tail_u8 for the flat / 5D / bgr contracts)."""
     weights = prep_weights_srgan(tail_params, bgr=bgr)
-    weights, q8_scales = _q8_setup64(tail_params, weights, q8_calib)
+    weights, q8_scales, sH = _q8_setup64(tail_params, weights, q8_calib, qh8)
     call = build_tail64_call(weights, ny, nx, brc, core_rows, u8_out=True,
-                             interpret=interpret, q8_scales=q8_scales)
+                             interpret=interpret, q8_scales=q8_scales,
+                             qh8=sH is not None)
 
     def run(h_tiles):
-        out = call(make_h3(h_tiles, prep, cin=CIN))
+        h3 = (make_h3_q8(h_tiles, sH, prep, cin=CIN) if sH is not None
+              else make_h3(h_tiles, prep, cin=CIN))
+        out = call(h3)
         if flat:
             return out.reshape(ny * core_rows * 4, nx * CORE * 12)
         return out

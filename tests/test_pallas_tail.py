@@ -123,7 +123,33 @@ def test_fused_tail_q8_within_engine_envelope(tail_setup, rng):
     diff = np.abs(got - want)
     assert diff.max() <= 2, diff.max()
     assert (diff > 1).mean() < 5e-3
-    assert (diff > 0).mean() < 0.25
+    # 1-level flips rose ~0.23 -> ~0.28 with the 1.25x calibration headroom
+    # margin (ADVICE r3; Q8_MARGIN) — the envelope guards are max<=2 + frac>1
+    assert (diff > 0).mean() < 0.35
+
+
+def test_fused_tail_qh8_within_engine_envelope(tail_setup, rng):
+    """qh8 (int8 h3 DMA + w8a8 up1 on top of the w8a8 tail, VERDICT r3
+    #4a/#4c) vs the bf16 kernel on the final u8 pixels: same acceptance
+    envelope as the q8 test."""
+    tail, params = tail_setup
+    ny, nx, brc, cr = 1, 2, 12, 24
+    tr = cr + 4
+    h = jnp.asarray(rng.standard_normal((ny * nx, tr, T, 32)) * 0.5,
+                    jnp.bfloat16)
+
+    base = build_fused_tail_u8(params, ny, nx, brc=brc, core_rows=cr,
+                               interpret=True)
+    qh8 = build_fused_tail_u8(params, ny, nx, brc=brc, core_rows=cr,
+                              interpret=True,
+                              q8_calib=h.astype(jnp.float32), qh8=True)
+    got = np.asarray(qh8(h)).astype(np.int32)
+    want = np.asarray(base(h)).astype(np.int32)
+    diff = np.abs(got - want)
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 1).mean() < 5e-3
+    # int8 h adds ~+4pp of 1-level flips over plain q8 (0.28 -> 0.33)
+    assert (diff > 0).mean() < 0.40
 
 
 @pytest.mark.parametrize("ny,nx,brc,cr", [(1, 2, 12, 24), (2, 1, 8, 16)])
