@@ -94,6 +94,27 @@ def main() -> None:
         BackendUnavailable, acquire_devices, bench_error_json,
     )
 
+    # Hang watchdog: the axon tunnel's second observed failure mode is an
+    # indefinite HANG in backend init (a bare jax.devices() blocks for
+    # minutes) — retries never fire on a hang, so convert it into the same
+    # structured error via SIGALRM.  Budget covers cold remote compiles
+    # (~1-5 min/program through the tunnel).
+    import signal
+
+    def _alarm(signum, frame):
+        print("# bench watchdog fired: backend/compile hang", file=sys.stderr)
+        print(bench_error_json(
+            METRIC, UNIT, "watchdog timeout: backend or compile hang "
+            "(axon tunnel unresponsive)"))
+        sys.stdout.flush()
+        os._exit(1)
+
+    try:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "2400")))
+    except (ValueError, AttributeError):
+        pass  # non-main thread / non-POSIX: run without the watchdog
+
     try:
         devices = acquire_devices(
             retries=int(os.environ.get("BENCH_RETRIES", "3")),
@@ -101,6 +122,10 @@ def main() -> None:
         print(f"# backend: {devices[0].platform} x{len(devices)}",
               file=sys.stderr)
         run_bench()
+        try:
+            signal.alarm(0)
+        except Exception:
+            pass
     except BackendUnavailable as exc:
         print(f"# backend acquisition failed after {exc.attempts} attempts",
               file=sys.stderr)

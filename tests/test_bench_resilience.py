@@ -67,6 +67,31 @@ def test_error_json_is_one_parseable_line():
     assert "axon UNAVAILABLE" in obj["error"]
 
 
+def test_bench_watchdog_converts_hang_to_error_json():
+    """The tunnel's second failure mode is an indefinite HANG in backend
+    init (a bare jax.devices() blocks for minutes — observed r3 and r4);
+    the SIGALRM watchdog must convert it into the structured error line."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import os, sys, time\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "os.environ['BENCH_TIMEOUT_S'] = '2'\n"
+        "import bench\n"
+        "import denoise_gan_tpu.utils.backend as backend\n"
+        "backend.acquire_devices = "
+        "lambda *a, **k: time.sleep(600)\n"
+        "bench.main()\n")
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=60)
+    assert p.returncode == 1
+    obj = json.loads(p.stdout.strip().splitlines()[-1])
+    assert obj["value"] is None and "watchdog" in obj["error"]
+
+
 def test_bench_main_prints_error_json_on_forced_failure(monkeypatch, capsys):
     """End-to-end through bench.main(): a dead backend yields rc=1 and ONE
     structured JSON line on stdout (no traceback there)."""
