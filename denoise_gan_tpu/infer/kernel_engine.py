@@ -75,7 +75,7 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
                         plan: tuple[int, int, int] | None = None,
                         tail_builders=None, jit_compile: bool = True,
                         q8_calib=None, bgr: bool = False,
-                        qh8: bool = False):
+                        qh8: bool = False, u8_input: bool = False):
     """body_apply: (N, TR, T, 3) [-1,1] -> (N, TR, T, 32) bf16 body features.
     Returns fn(frame01 (H, W, 3)) ->
     * out_uint8 (default): the kernel's raw (ny*CR, 4, nx, CORE, 12) uint8
@@ -133,12 +133,24 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
 
     @deco
     def run(frame01):
-        # bf16 BEFORE pad/extract: halves the input-stage traffic and is
-        # numerically free — FSRGANBody casts tiles to bf16 at entry anyway
-        x = (frame01 * 2.0 - 1.0).astype(jnp.bfloat16)
-        x = jnp.pad(x, ((m0, pad_h - height - m0),
-                        (m0, pad_w - width - m0), (0, 0)), mode="edge")
-        tiles = extract_grid(x, ny, nx, (tr, T), (cr, CORE))
+        if u8_input:
+            # uint8 path (VERDICT r3 #4b): pad/extract move 1 byte/px (vs 2
+            # at bf16) and the HOST ships the decoder's u8 frame verbatim
+            # (4x fewer H2D bytes, no per-frame f32 conversion).  The
+            # normalize affine runs in f32 per tile (exact), then bf16.
+            x = jnp.pad(frame01, ((m0, pad_h - height - m0),
+                                  (m0, pad_w - width - m0), (0, 0)),
+                        mode="edge")
+            tiles_u = extract_grid(x, ny, nx, (tr, T), (cr, CORE))
+            tiles = (tiles_u.astype(jnp.float32) * (2.0 / 255.0)
+                     - 1.0).astype(jnp.bfloat16)
+        else:
+            # bf16 BEFORE pad/extract: halves the input-stage traffic and is
+            # numerically free — FSRGANBody casts tiles to bf16 at entry
+            x = (frame01 * 2.0 - 1.0).astype(jnp.bfloat16)
+            x = jnp.pad(x, ((m0, pad_h - height - m0),
+                            (m0, pad_w - width - m0), (0, 0)), mode="edge")
+            tiles = extract_grid(x, ny, nx, (tr, T), (cr, CORE))
         h = body_apply(tiles)
         if u8_path:
             return fused(h)                       # (ny*cr, 4, nx, 120, 12)
@@ -156,12 +168,23 @@ def build_kernel_engine(body_apply, tail_params, height: int, width: int,
     return run
 
 
+def _flip_stem_input_channels(body_params, stem_key: str):
+    """Permute the stem conv's INPUT channels RGB<->BGR — a free host-side
+    weight edit that lets the engine take the video decoder's BGR frames
+    verbatim (no per-frame host flip, VERDICT r3 #4b)."""
+    p = dict(body_params)
+    k = dict(p[stem_key])
+    k["kernel"] = jnp.asarray(k["kernel"])[:, :, ::-1, :]
+    p[stem_key] = k
+    return p
+
+
 def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
                                brc: int | None = None, prep: str = "conv",
                                interpret: bool = False,
                                plan: tuple[int, int, int] | None = None,
                                q8_calib_frame=None, qh8: bool = False,
-                               **kw):
+                               bgr_input: bool = False, **kw):
     """Convenience: wire the FSRGAN body (XLA, bf16) to the fused tail.
 
     q8_calib_frame: an (H, W, 3) [0,1] sample frame — runs the body once on
@@ -178,6 +201,8 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
 
     body = FSRGANBody(dtype=jnp.bfloat16)
     body_p = params["body"]
+    if bgr_input:
+        body_p = _flip_stem_input_channels(body_p, "Conv_0")
     body_s = (batch_stats or {}).get("body", {})
 
     def body_apply(tiles):
@@ -186,8 +211,12 @@ def build_fsrgan_kernel_engine(params, batch_stats, height: int, width: int,
 
     kw2 = dict(kw)
     if q8_calib_frame is not None:
-        kw2["q8_calib"] = _body_sample(body_apply, q8_calib_frame,
-                                       height, width, brc)
+        # calibration frames are RGB [0,1]; flip to match a bgr_input stem
+        calib = q8_calib_frame
+        if bgr_input:
+            calib = ([f[..., ::-1] for f in calib]
+                     if isinstance(calib, (list, tuple)) else calib[..., ::-1])
+        kw2["q8_calib"] = _body_sample(body_apply, calib, height, width, brc)
         kw2["qh8"] = qh8
     return build_kernel_engine(body_apply, params["tail"], height, width,
                                brc=brc, prep=prep, interpret=interpret,
@@ -224,7 +253,7 @@ def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,
                               interpret: bool = False,
                               plan: tuple[int, int, int] | None = None,
                               q8_calib_frame=None, qh8: bool = False,
-                              **kw):
+                              bgr_input: bool = False, **kw):
     """SRGAN 4x variant: 16-resblock body (XLA, bf16) + the CIN=64 fused
     tail kernel (ops/pallas/tail_srgan.py).  Same geometry and output
     contracts (and q8_calib_frame option) as the FSRGAN engine.
@@ -240,6 +269,8 @@ def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,
 
     body = SRGANBody(dtype=jnp.bfloat16)
     body_p = params["body"]
+    if bgr_input:
+        body_p = _flip_stem_input_channels(body_p, "Conv_0")
     body_s = (batch_stats or {}).get("body", {})
 
     def body_apply(tiles):
@@ -248,8 +279,11 @@ def build_srgan_kernel_engine(params, batch_stats, height: int, width: int,
 
     kw2 = dict(kw)
     if q8_calib_frame is not None:
-        kw2["q8_calib"] = _body_sample(body_apply, q8_calib_frame,
-                                       height, width, brc)
+        calib = q8_calib_frame
+        if bgr_input:
+            calib = ([f[..., ::-1] for f in calib]
+                     if isinstance(calib, (list, tuple)) else calib[..., ::-1])
+        kw2["q8_calib"] = _body_sample(body_apply, calib, height, width, brc)
         kw2["qh8"] = qh8
     return build_kernel_engine(
         body_apply, params["tail"], height, width, brc=brc, prep=prep,

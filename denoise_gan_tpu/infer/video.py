@@ -81,14 +81,19 @@ def _peek_calib_frames(input_path: str, frame_start: int, n: int = 4):
     return frames or None
 
 
-def _reader(cap, q: queue.Queue, max_frames: int):
+def _reader(cap, q: queue.Queue, max_frames: int, raw_bgr: bool = False):
     import cv2
     count = 0
     while max_frames <= 0 or count < max_frames:
         ret, frame = cap.read()
         if not ret:
             break
-        q.put(frame[..., ::-1].astype(np.float32) / 255.0)  # BGR->RGB [0,1]
+        if raw_bgr:
+            # u8/BGR-input engine (VERDICT r3 #4b): ship the decoder's frame
+            # VERBATIM — no host flip, no f32 conversion, 4x fewer H2D bytes
+            q.put(frame)
+        else:
+            q.put(frame[..., ::-1].astype(np.float32) / 255.0)  # ->RGB [0,1]
         count += 1
     q.put(None)
 
@@ -131,6 +136,7 @@ def process_video(args) -> dict:
     engine_flat = False
     engine_kernel = False
     engine_bgr = False
+    engine_u8_in = False
     engine_name = "whole-frame" if not args.tile else "plain-tiled"
     # Scoring cadence: the fused-kernel path scores from its u8 output via a
     # device-side relayout (~20-40 ms per scored frame), so by default it
@@ -192,6 +198,16 @@ def process_video(args) -> dict:
             # copy per 4K frame otherwise
             engine_bgr = bool(args.output_video)
             bkw["bgr"] = engine_bgr
+            # u8/BGR INPUT (VERDICT r3 #4b): when not scoring, the engine
+            # takes the decoder's BGR uint8 frame verbatim (stem conv input
+            # channels flipped in the weights, normalize on device) — zero
+            # per-frame host work on input, 4x fewer H2D bytes, and the
+            # pad/extract stage moves u8 instead of bf16.  Scoring keeps the
+            # f32 RGB path (the reference streams for PSNR/SSIM are RGB).
+            engine_u8_in = not args.score
+            if engine_u8_in:
+                bkw["u8_input"] = True
+                bkw["bgr_input"] = True
             if args.q8 != 0:
                 # w8a8 tail (int8 up2/final dots) calibrated on frames
                 # spread across the clip — the DEFAULT (--q8 -1 = auto-on):
@@ -213,6 +229,7 @@ def process_video(args) -> dict:
             engine_name = (f"fused-kernel ({config.get('family')} 4x"
                            + (", w8a8 tail" if "q8_calib_frame" in bkw
                               else "")
+                           + (", u8/bgr in" if engine_u8_in else "")
                            + (", bgr out" if engine_bgr else "")
                            + "; fixed 124/120 tile geometry — --tile/"
                              "--tile_overlap/--stitch not used)")
@@ -331,7 +348,8 @@ def process_video(args) -> dict:
         return psnr(a, b)[0], ssim(a, b)[0]
 
     q: queue.Queue = queue.Queue(maxsize=8)
-    threading.Thread(target=_reader, args=(cap, q, args.max_frames),
+    threading.Thread(target=_reader,
+                     args=(cap, q, args.max_frames, engine_u8_in),
                      daemon=True).start()
 
     def forward_m11(tiles_m11):
