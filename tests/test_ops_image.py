@@ -80,3 +80,27 @@ def test_renorm_range():
     x = jnp.array([[-2.0, -1.0, 0.0, 1.0, 2.0]])
     out = np.asarray(renorm(x))
     np.testing.assert_allclose(out, [[0.0, 0.0, 0.5, 1.0, 1.0]])
+
+
+def test_unit_test_classical_denoisers(rng):
+    """The root unit_test.py's classical comparison filters: medianBlur
+    (what the reference calls) and the fastNlMeansDenoisingColored wrapper
+    it ships unused (/root/reference/unit_test.py:32-34) — both must map
+    [0,1] float -> [0,1] float at the same shape and actually smooth."""
+    import importlib
+    ut = importlib.import_module("unit_test")
+
+    # smooth gradient + mild iid noise (NL-means needs similar patches to
+    # average; pure uniform noise defeats it)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+    base = np.stack([yy, xx, (yy + xx) / 2], axis=-1) * 0.5 + 0.25
+    img = np.clip(base + rng.normal(0, 0.08, base.shape), 0, 1) \
+        .astype(np.float32)
+    for fn in (ut.denoise_median, ut.denoise_nlmeans):
+        out = fn(img)
+        assert out.shape == img.shape and out.dtype == np.float32
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        # a denoiser must reduce pixelwise total variation of the noise
+        tv = lambda a: np.abs(np.diff(a, axis=0)).mean() + \
+            np.abs(np.diff(a, axis=1)).mean()
+        assert tv(out) < 0.8 * tv(img)

@@ -29,12 +29,27 @@ def denoise_median(img01: np.ndarray, k: int = 3) -> np.ndarray:
     return cv2.medianBlur(arr, k).astype(np.float32) / 255.0
 
 
+def denoise_nlmeans(img01: np.ndarray, strength: float = 10.0) -> np.ndarray:
+    """The reference's other classical wrapper
+    (/root/reference/unit_test.py:32-34, unused there; kept for surface
+    parity behind --denoiser nlmeans)."""
+    import cv2
+    arr = (np.clip(img01, 0, 1) * 255).astype(np.uint8)
+    out = cv2.fastNlMeansDenoisingColored(arr, None, strength, strength, 7, 21)
+    return out.astype(np.float32) / 255.0
+
+
 def main(argv=None):
     parser = ArgumentParser()
     parser.add_argument("--image_dir", default="test/images", type=str)
     parser.add_argument("--model", default="./models/autoencoder.dgt", type=str)
     parser.add_argument("--crop", default=256, type=int)
+    parser.add_argument("--denoiser", default="median",
+                        choices=["median", "nlmeans"],
+                        help="classical comparison filter (additive flag; "
+                             "the reference calls only medianBlur)")
     args = parser.parse_args(argv)
+    denoise = denoise_median if args.denoiser == "median" else denoise_nlmeans
 
     import jax.numpy as jnp
     _, _, forward = build_forward(get_path(args.model))
@@ -45,7 +60,7 @@ def main(argv=None):
         sr = (np.asarray(out, np.float32) + 1.0) / 2.0
         stem = os.path.splitext(path)[0]
         save_image_bgr(stem + "_sr.png", sr)
-        save_image_bgr(stem + "_sr_denoise.png", denoise_median(sr))
+        save_image_bgr(stem + "_sr_denoise.png", denoise(sr))
         print(f"{path}: wrote {stem}_sr.png, {stem}_sr_denoise.png")
 
 
