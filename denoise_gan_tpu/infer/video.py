@@ -219,16 +219,22 @@ def process_video(args) -> dict:
                 calib = _peek_calib_frames(input_path, args.frame_start)
                 if calib is not None:
                     bkw["q8_calib_frame"] = [jnp.asarray(f) for f in calib]
-                elif args.q8 == 1:
-                    print("note: --q8 1 ignored — could not decode a "
-                          "calibration frame; using the bf16 tail",
+                    # --q8 2: qh8 — additionally int8-quantize the h3 tile
+                    # DMA (the tail's largest input) and run up1 w8a8
+                    # (ops/pallas/tail.py; max 2 u8 levels vs exact in
+                    # interpret-mode acceptance tests)
+                    bkw["qh8"] = args.q8 == 2
+                elif args.q8 in (1, 2):
+                    print(f"note: --q8 {args.q8} ignored — could not decode "
+                          "a calibration frame; using the bf16 tail",
                           flush=True)
             engine = build(params, batch_stats, fh, fw, **bkw)
             engine_flat = True
             engine_kernel = True
             engine_name = (f"fused-kernel ({config.get('family')} 4x"
-                           + (", w8a8 tail" if "q8_calib_frame" in bkw
-                              else "")
+                           + ((", w8a8+h8 tail" if bkw.get("qh8")
+                               else ", w8a8 tail")
+                              if "q8_calib_frame" in bkw else "")
                            + (", u8/bgr in" if engine_u8_in else "")
                            + (", bgr out" if engine_bgr else "")
                            + "; fixed 124/120 tile geometry — --tile/"
@@ -532,7 +538,8 @@ def build_parser() -> ArgumentParser:
                              "(bf16 tail) for clips with extreme dynamic-"
                              "range jumps. -1 = auto (on when the kernel "
                              "engine is used), 0 = force bf16 tail, 1 = "
-                             "require w8a8")
+                             "require w8a8, 2 = qh8 (w8a8 + int8 h3 DMA + "
+                             "w8a8 up1)")
     parser.add_argument("--verbose", default=0, type=int)
     return parser
 

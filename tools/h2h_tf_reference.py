@@ -381,7 +381,14 @@ def main():
                    help="TF-side seed variant (0 = default seeds); reseeds "
                         "Keras inits + data sampling and suffixes outputs "
                         "_N for the GAN-variance study")
+    p.add_argument("--platform", default="",
+                   help="force a JAX platform for the repo-side commands "
+                        "(e.g. 'cpu' when the axon chip is down; env alone "
+                        "cannot override the plugin — CLAUDE.md)")
     args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     dict(pairs=make_pairs, make_init=make_init, train=train_tf,
          train_repo=train_repo, score_repo=score_repo,
          report=report)[args.cmd](args)
