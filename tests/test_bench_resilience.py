@@ -67,33 +67,51 @@ def test_error_json_is_one_parseable_line():
     assert "axon UNAVAILABLE" in obj["error"]
 
 
-def test_bench_watchdog_converts_hang_to_error_json():
-    """The tunnel's second failure mode is an indefinite HANG in backend
-    init (a bare jax.devices() blocks for minutes — observed r3 and r4);
-    the SIGALRM watchdog must convert it into the structured error line."""
+def _run_bench_subprocess(extra_env: dict, timeout: int = 90):
     import os
     import subprocess
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = (
-        "import os, sys, time\n"
-        f"sys.path.insert(0, {repo!r})\n"
-        "os.environ['BENCH_TIMEOUT_S'] = '2'\n"
-        "import bench\n"
-        "import denoise_gan_tpu.utils.backend as backend\n"
-        "backend.acquire_devices = "
-        "lambda *a, **k: time.sleep(600)\n"
-        "bench.main()\n")
-    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=60)
+    env = dict(os.environ)
+    env.pop("BENCH_CHILD", None)
+    env.update(extra_env)
+    return subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, timeout=timeout, env=env)
+
+
+def test_bench_watchdog_kills_gil_holding_hang():
+    """The tunnel's second failure mode is an indefinite HANG inside the
+    plugin's C client (a bare jax.devices() blocks for minutes — observed r3
+    and r4).  A hung C call can HOLD THE GIL, where no in-process
+    signal/thread watchdog can run (measured: the r3-era SIGALRM watchdog
+    never fired; `timeout` reaped the process at rc=124).  The supervisor
+    process must kill the child and print the structured error line."""
+    p = _run_bench_subprocess({"BENCH_TEST_HANG": "gil",
+                               "BENCH_TIMEOUT_S": "3"})
     assert p.returncode == 1
     obj = json.loads(p.stdout.strip().splitlines()[-1])
     assert obj["value"] is None and "watchdog" in obj["error"]
 
 
-def test_bench_main_prints_error_json_on_forced_failure(monkeypatch, capsys):
-    """End-to-end through bench.main(): a dead backend yields rc=1 and ONE
+def test_bench_supervisor_relays_child_error_line():
+    """A child that fails cleanly prints its own structured line; the
+    supervisor must relay it verbatim and preserve rc=1 without adding a
+    second JSON line."""
+    p = _run_bench_subprocess({"BENCH_TEST_FAIL": "forced bench failure"})
+    assert p.returncode == 1
+    lines = [l for l in p.stdout.strip().splitlines()
+             if l.lstrip().startswith("{")]
+    assert len(lines) == 1
+    obj = json.loads(lines[0])
+    assert obj["metric"] == "1080p_fps_per_chip"
+    assert obj["value"] is None
+    assert "forced bench failure" in obj["error"]
+
+
+def test_bench_child_prints_error_json_on_dead_backend(monkeypatch, capsys):
+    """Through bench.child_main(): a dead backend yields rc=1 and ONE
     structured JSON line on stdout (no traceback there)."""
     import bench
 
@@ -108,7 +126,7 @@ def test_bench_main_prints_error_json_on_forced_failure(monkeypatch, capsys):
 
     monkeypatch.setattr(backend, "acquire_devices", fast_acquire)
     with pytest.raises(SystemExit) as ei:
-        bench.main()
+        bench.child_main()
     assert ei.value.code == 1
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1

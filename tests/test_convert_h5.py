@@ -141,6 +141,42 @@ def test_load_generator_consumes_h5_directly(tmp_path, rng):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("family", ["fsrgan", "srgan", "pix2pix"])
+def test_reverse_export_dgt_to_h5_forward_parity(tmp_path, rng, family):
+    """tools/export_h5.py (the reverse direction): a repo-trained .dgt must
+    run in the reference's framework — Flax forward vs the Keras graph
+    loaded from the exported .h5 (covers the dwconv, convt and prelu
+    inverse transforms)."""
+    import subprocess
+
+    from denoise_gan_tpu.io.checkpoint import export_net
+    from denoise_gan_tpu.io.keras_h5 import _template_variables
+
+    variables = _template_variables(family, "generator", SCALE[family])
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    dgt = str(tmp_path / f"{family}.dgt")
+    export_net(dgt, family, SCALE[family], params, stats, role="generator")
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_h5.py"),
+         "--dgt", dgt], capture_output=True, text=True, timeout=1800)
+    assert out.returncode == 0, out.stdout + out.stderr
+    h5 = str(tmp_path / f"{family}.h5")
+    assert os.path.exists(h5)
+
+    keras_model = GEN_BUILDERS[family]()
+    keras_model.load_weights(h5)          # Lambda-proof load of the full .h5
+    size = IN_SIZE[family]
+    x = rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
+    want = np.asarray(build_models(family, scale=SCALE[family])
+                      .generator.apply({"params": params,
+                                        "batch_stats": stats},
+                                       jnp.asarray(x), train=False))
+    got = keras_model(tf.constant(x), training=False).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_converted_export_loads_into_infer_path(tmp_path, rng):
     """The converted .dgt must round-trip through io.checkpoint.load_generator
     (what the inference CLIs consume)."""

@@ -31,6 +31,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# weight-format conversion needs no accelerator; force CPU before any
+# backend init (env alone cannot override the axon plugin)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from denoise_gan_tpu.io.keras_h5 import (  # noqa: E402
     DEFAULT_SCALE, FAMILIES, convert_records, h5_weight_stream,
     infer_family_role, keras_weight_stream, load_keras_model,
