@@ -65,6 +65,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True)
     p.add_argument("--qs", default="10,30,50")
+    p.add_argument("--photos", default="",
+                   help="comma list restricting the eval sources (e.g. "
+                        "'hopper' to score only the photo held out from "
+                        "tools/train_natural.py's corpus)")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu while the chip is "
                         "down — quality eval is timing-insensitive)")
@@ -89,6 +93,9 @@ def main():
     scale = config["scale"] if bundle.upscales else 1
 
     crops = load_photo_crops()
+    if args.photos:
+        keep = set(args.photos.split(","))
+        crops = [(n, c) for n, c in crops if n in keep]
     assert crops, "no bundled photographs found on this system"
     names = sorted({n for n, _ in crops})
     hr01 = np.stack([c for _, c in crops])
