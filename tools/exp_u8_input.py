@@ -56,8 +56,12 @@ def run_family(family: str):
 
     eng_f32 = build(params, stats, H, W, q8_calib_frame=f32[0], bgr=True)
     fps_f32 = bench(eng_f32, f32, label=f"{family} q8 f32-input")
+    # bgr_input flips the stem weights so the BGR u8 frames are read
+    # correctly (the video CLI sets u8_input+bgr_input together,
+    # infer/video.py:209-210; omitting bgr_input here fed BGR bytes to an
+    # RGB stem and corrupted the quality comparison)
     eng_u8 = build(params, stats, H, W, q8_calib_frame=f32[0], bgr=True,
-                   u8_input=True)
+                   u8_input=True, bgr_input=True)
     fps_u8 = bench(eng_u8, u8, label=f"{family} q8 u8-BGR-input")
 
     a = np.asarray(eng_f32(f32[1])).astype(np.int32)

@@ -71,7 +71,7 @@ def train(args) -> None:
 
     c = make_config(args.family,
                     image_dir=os.path.join(args.data_root, "train"))
-    c.crop_size = 256
+    c.crop_size = args.crop
     c.batch_size = args.batch
     c.scale = args.scale
     c.jpeg_quality = args.q
@@ -99,6 +99,9 @@ def main():
     p.add_argument("--family", default="autoencoder")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--crop", type=int, default=256,
+                   help="train crop (128 keeps the CPU fallback affordable; "
+                        "the models are fully convolutional, eval stays 256)")
     p.add_argument("--scale", type=int, default=1)
     p.add_argument("--q", type=int, default=10)
     p.add_argument("--platform", default="",
