@@ -37,7 +37,7 @@ def test_eval_crop_grid_covers_all_sources():
 def test_train_corpus_build_holds_out_hopper(tmp_path):
     import argparse
 
-    args = argparse.Namespace(data_root=str(tmp_path))
+    args = argparse.Namespace(data_root=str(tmp_path), textures=0)
     train_natural.build(args)
     tiles = sorted(os.listdir(tmp_path / "train" / "photos"))
     assert len(tiles) == 72          # (3x6 tiles + flips) x 2 photos
@@ -51,3 +51,23 @@ def test_train_corpus_build_holds_out_hopper(tmp_path):
     b = np.load(tmp_path / "train" / "photos" / base)
     f = np.load(tmp_path / "train" / "photos" / flip)
     np.testing.assert_array_equal(f, b[:, ::-1])
+
+
+def test_train_corpus_textures_extend(tmp_path):
+    """The round-5 curated texture photos diversify the corpus (the
+    two-photo corpus overfit: +2.15 dB in-domain, -3.45 dB on hopper)."""
+    import argparse
+
+    have = [p for p, _ in train_natural.TRAIN_TEXTURES.values()
+            if os.path.exists(p)]
+    if not have:
+        pytest.skip("no bundled texture photos on this host")
+    args = argparse.Namespace(data_root=str(tmp_path), textures=1)
+    train_natural.build(args)
+    tiles = sorted(os.listdir(tmp_path / "train" / "photos"))
+    assert len(tiles) > 72           # strictly extends the photo corpus
+    assert not any("hopper" in t for t in tiles)
+    sources = {t.split("_")[0] for t in tiles}
+    assert {"china", "flower"} <= sources and len(sources) >= 4
+    a = np.load(tmp_path / "train" / "photos" / tiles[-1])
+    assert a.shape == (288, 288, 3) and a.dtype == np.float32

@@ -34,31 +34,70 @@ sys.path.insert(0, "/root/repo")
 TILE = 288
 STRIDE = 64
 
+_SP = "/opt/venv/lib/python3.12/site-packages"
 TRAIN_PHOTOS = {
-    "china": "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/"
-             "images/china.jpg",
-    "flower": "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/"
-              "images/flower.jpg",
+    "china": f"{_SP}/sklearn/datasets/images/china.jpg",
+    "flower": f"{_SP}/sklearn/datasets/images/flower.jpg",
 }
 # grace_hopper is the held-out eval photo (eval_natural.py --photos hopper)
 
+# Photographic texture images bundled with installed simulation packages
+# (curated by gradient energy / color diversity — real photos of wood,
+# stone, skin, grass, sky; flat synthetic game tiles excluded).  The
+# round-4 two-photo corpus overfit (+2.15 dB on its own photos, -3.45 dB
+# on held-out hopper); these diversify the texture statistics.  Each entry
+# is (path, tile stride) — big 1024^2 textures use a coarse stride so no
+# single source dominates the corpus.
+_KIT = f"{_SP}/gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures"
+_ADR = f"{_SP}/gymnasium_robotics/envs/assets/adroit_hand/resources/textures"
+_DMC = f"{_SP}/dm_control"
+TRAIN_TEXTURES = {
+    "tile1": (f"{_KIT}/tile1.png", 112),
+    "marble1": (f"{_KIT}/marble1.png", 112),
+    "wmarble": (f"{_KIT}/white_marble_tile.png", 160),
+    "wmarble2": (f"{_KIT}/white_marble_tile2.png", 192),
+    "wood1": (f"{_KIT}/wood1.png", 192),
+    "darkwood": (f"{_ADR}/darkwood.png", 192),
+    "marble": (f"{_ADR}/marble.png", 112),
+    "silver": (f"{_ADR}/silverRaw.png", 112),
+    "foil": (f"{_ADR}/foil.png", 112),
+    "handskin": (f"{_ADR}/skin.png", 192),
+    "dogskin": (f"{_DMC}/suite/dog_assets/skin_texture.png", 192),
+    "grass": (f"{_DMC}/locomotion/arenas/assets/outdoor_natural/"
+              "OutdoorGrassFloorD.png", 112),
+    "sky": (f"{_DMC}/locomotion/arenas/assets/outdoor_natural/"
+            "OutdoorSkybox2048.png", 256),
+}
 
-def build(args) -> None:
+
+def _tile_photo(out_dir: str, name: str, path: str, stride: int) -> int:
     from PIL import Image
 
+    if not os.path.exists(path):
+        print(f"skip {name}: {path} not found")
+        return 0
+    im = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    h, w = im.shape[:2]
+    n = 0
+    for y in range(0, h - TILE + 1, stride):
+        for x in range(0, w - TILE + 1, stride):
+            t = im[y:y + TILE, x:x + TILE]
+            for k, v in (("", t), ("f", t[:, ::-1])):
+                np.save(os.path.join(out_dir, f"{name}_{y}_{x}{k}.npy"),
+                        np.ascontiguousarray(v))
+                n += 1
+    return n
+
+
+def build(args) -> None:
     out_dir = os.path.join(args.data_root, "train", "photos")
     os.makedirs(out_dir, exist_ok=True)
     n = 0
     for name, path in TRAIN_PHOTOS.items():
-        im = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-        h, w = im.shape[:2]
-        for y in range(0, h - TILE + 1, STRIDE):
-            for x in range(0, w - TILE + 1, STRIDE):
-                t = im[y:y + TILE, x:x + TILE]
-                for k, v in (("", t), ("f", t[:, ::-1])):
-                    np.save(os.path.join(out_dir, f"{name}_{y}_{x}{k}.npy"),
-                            np.ascontiguousarray(v))
-                    n += 1
+        n += _tile_photo(out_dir, name, path, STRIDE)
+    if args.textures:
+        for name, (path, stride) in TRAIN_TEXTURES.items():
+            n += _tile_photo(out_dir, name, path, stride)
     print(f"wrote {n} {TILE}^2 tiles to {out_dir}")
 
 
@@ -96,6 +135,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("cmd", choices=["build", "train"])
     p.add_argument("--data_root", default="/tmp/nat")
+    p.add_argument("--textures", type=int, default=1,
+                   help="include the curated texture photos (0 = the "
+                        "round-4 two-photo corpus)")
     p.add_argument("--family", default="autoencoder")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--batch", type=int, default=4)
