@@ -68,15 +68,32 @@ def _peek_calib_frames(input_path: str, frame_start: int, n: int = 4):
     import cv2
     cap = cv2.VideoCapture(input_path)
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    span = max(total - frame_start, 1)
-    positions = sorted({frame_start + (span * k) // n for k in range(n)})
     frames = []
-    for pos in positions:
-        if pos:
-            cap.set(cv2.CAP_PROP_POS_FRAMES, pos)
-        ok, frame = cap.read()
-        if ok:
-            frames.append(frame[..., ::-1].astype(np.float32) / 255.0)
+    if total > 0:
+        span = max(total - frame_start, 1)
+        positions = sorted({frame_start + (span * k) // n for k in range(n)})
+        for pos in positions:
+            if pos:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, pos)
+            ok, frame = cap.read()
+            if ok:
+                frames.append(frame[..., ::-1].astype(np.float32) / 255.0)
+    else:
+        # CAP_PROP_FRAME_COUNT is 0/garbage for some containers/streams
+        # (ADVICE r4 #4): read sequentially, keeping every `stride`-th frame
+        # up to a bounded scan, so calibration still spans several scenes
+        stride, scan_cap = 24, 24 * n * 4
+        for i in range(frame_start + scan_cap):
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if i >= frame_start and (i - frame_start) % stride == 0:
+                frames.append(frame[..., ::-1].astype(np.float32) / 255.0)
+                if len(frames) >= n:
+                    break
+        if frames:
+            print(f"note: container reports no frame count; q8 calibration "
+                  f"sampled {len(frames)} frame(s) sequentially", flush=True)
     cap.release()
     return frames or None
 

@@ -45,11 +45,22 @@ def is_hdf5(path: str) -> bool:
 # ---------------------------------------------------------------------------
 # Keras-side: typed weight stream in layer (construction) order
 
+def _walk_layers(container):
+    """Depth-first over weighted leaf layers, flattening nested containers
+    (the reference pix2pix wraps each down/upsample stack in a
+    tf.keras.Sequential, /root/reference/pix2pix.py:113-140)."""
+    for layer in container.layers:
+        if getattr(layer, "layers", None):
+            yield from _walk_layers(layer)
+        else:
+            yield layer
+
+
 def keras_weight_stream(model) -> list[tuple[str, list[np.ndarray]]]:
     """[(kind, arrays)] for every weighted layer, in model.layers order.
     kinds: conv / dwconv / convt / bn / prelu."""
     records = []
-    for layer in model.layers:
+    for layer in _walk_layers(model):
         w = layer.get_weights()
         if not w:
             continue
@@ -64,31 +75,62 @@ def keras_weight_stream(model) -> list[tuple[str, list[np.ndarray]]]:
     return records
 
 
-def _classify_layer_name(name: str) -> str | None:
-    """Layer kind from the saved layer name (Keras auto-names carry the
-    class, e.g. 'conv2d_transpose_3', 'p_re_lu_1')."""
-    base = name.lower()
-    if "depthwise_conv2d" in base:
-        return "dwconv"
-    if "conv2d_transpose" in base:
-        return "convt"
-    if "conv2d" in base:
-        return "conv"
-    if "batch_normalization" in base:
+_BN_LEAVES = ("gamma", "beta", "moving_mean", "moving_variance")
+
+
+def _classify_weight_group(parent: str, leaves: list[str]) -> str | None:
+    """Layer kind from a saved weight group: primarily the per-variable leaf
+    names (gamma/alpha/kernel — stable across Keras versions and custom
+    layer names), with the innermost layer name only disambiguating
+    depthwise vs plain convs (Keras 3 names both variables 'kernel') and
+    transposed vs plain convs.  Handles the reference's custom-named fsrgan
+    layers (block_N_expand / expanded_conv_depthwise / *_BN,
+    /root/reference/fsrgan.py:131-176) that Keras auto-name matching missed
+    (ADVICE r4 #1)."""
+    base = parent.lower().rsplit("/", 1)[-1]
+    if any(leaf in leaves for leaf in _BN_LEAVES):
         return "bn"
-    if "p_re_lu" in base:
+    if "alpha" in leaves:
         return "prelu"
+    if "depthwise_kernel" in leaves or "depthwise" in base:
+        return "dwconv"
+    if "kernel" in leaves:
+        return "convt" if "transpose" in base else "conv"
     return None
+
+
+def _ordered_arrays(kind: str, pairs: list[tuple[str, np.ndarray]],
+                    where: str) -> list[np.ndarray]:
+    """Arrays in the canonical per-kind order keras_weight_stream produces
+    (kernel[,bias] / gamma,beta,mean,var / alpha)."""
+    d = dict(pairs)
+    if len(d) != len(pairs):
+        raise ValueError(f"duplicate weight leaves in '{where}': "
+                         f"{[leaf for leaf, _ in pairs]}")
+    if kind == "bn":
+        missing = [leaf for leaf in _BN_LEAVES if leaf not in d]
+        if missing:
+            raise ValueError(f"BN group '{where}' missing {missing}")
+        return [d[leaf] for leaf in _BN_LEAVES]
+    if kind == "prelu":
+        return [d["alpha"]]
+    kernel = d.get("depthwise_kernel", d.get("kernel"))
+    return [kernel] + ([d["bias"]] if "bias" in d else [])
 
 
 def h5_weight_stream(path: str) -> list[tuple[str, list[np.ndarray]]]:
     """The same typed weight stream read STRAIGHT from a legacy Keras `.h5`
     with h5py — no TensorFlow import, and immune to Keras-3's inability to
     deserialize the reference's Lambda(depth_to_space) layers
-    (/root/reference/srgan.py:141).  The legacy format stores ordered
-    `layer_names` / per-layer `weight_names` attrs; weight order per layer is
-    kernel[,bias] / gamma,beta,mean,var / alpha — exactly the record shape
-    keras_weight_stream produces."""
+    (/root/reference/srgan.py:141).
+
+    The legacy format stores ordered `layer_names` / per-layer
+    `weight_names` attrs whose entries are full variable paths
+    ('block_1_expand/kernel', 'sequential/batch_normalization/gamma').
+    Weights are re-grouped by their parent path, so one h5 group holding
+    several layers' weights (the reference pix2pix's nested Sequential
+    down/upsample stacks) and arbitrary custom layer names (the reference
+    fsrgan's block_N_* layers) both classify correctly."""
     import h5py
 
     def _s(x):
@@ -107,11 +149,26 @@ def h5_weight_stream(path: str) -> list[tuple[str, list[np.ndarray]]]:
             wnames = [_s(w) for w in grp.attrs.get("weight_names", [])]
             if not wnames:
                 continue
-            kind = _classify_layer_name(name)
-            if kind is None:
-                raise ValueError(f"unexpected weighted layer '{name}' in "
-                                 f"{path} — not a reference graph?")
-            records.append((kind, [np.asarray(grp[w]) for w in wnames]))
+            order: list[str] = []
+            groups: dict[str, list[tuple[str, np.ndarray]]] = {}
+            for w in wnames:
+                parent, _, leaf = w.rpartition("/")
+                parent = parent or name
+                leaf = leaf.split(":")[0]       # Keras 2 ':0' suffixes
+                if parent not in groups:
+                    groups[parent] = []
+                    order.append(parent)
+                groups[parent].append((leaf, np.asarray(grp[w])))
+            for parent in order:
+                leaves = [leaf for leaf, _ in groups[parent]]
+                kind = _classify_weight_group(parent, leaves)
+                if kind is None:
+                    raise ValueError(
+                        f"unclassifiable weighted layer '{parent}' "
+                        f"(weights {leaves}) in {path} — not a reference "
+                        "graph?")
+                records.append(
+                    (kind, _ordered_arrays(kind, groups[parent], parent)))
     return records
 
 
@@ -206,7 +263,12 @@ def infer_family_role(records: list[tuple[str, list[np.ndarray]]],
     shared PatchGAN."""
     kinds = [k for k, _ in records]
     for family in FAMILIES:
-        for scale in ((4, 2) if family == "srgan" else (DEFAULT_SCALE[family],)):
+        # srgan builds scale//2 upsample stages for ANY even --scale
+        # (/root/reference/srgan.py:179-180), so enumerate beyond the 4/2
+        # defaults (ADVICE r4 #3); common scales first for determinism
+        scales = ((4, 2, 6, 8, 10, 12, 14, 16) if family == "srgan"
+                  else (DEFAULT_SCALE[family],))
+        for scale in scales:
             if kinds == [k for _, k in gen_spec(family, scale)]:
                 return family, "generator", scale
     if kinds == [k for _, k in disc_spec("pix2pix")]:

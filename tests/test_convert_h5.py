@@ -120,6 +120,18 @@ def test_infer_family_role_identifies_every_graph():
     assert role == "discriminator"
 
 
+def test_infer_family_role_srgan_any_even_scale():
+    """The reference srgan builds scale//2 upsample stages for ANY even
+    --scale (/root/reference/srgan.py:179-180); detection must not be
+    limited to the 4/2 defaults (ADVICE r4 #3).  Kind streams suffice —
+    infer_family_role never looks at the arrays."""
+    from denoise_gan_tpu.io.keras_h5 import gen_spec, infer_family_role
+
+    for scale in (2, 6, 8, 16):
+        records = [(k, []) for _, k in gen_spec("srgan", scale)]
+        assert infer_family_role(records) == ("srgan", "generator", scale)
+
+
 def test_load_generator_consumes_h5_directly(tmp_path, rng):
     """The reference CLI surface: --model path/to/model.h5 must work without
     a conversion step (/root/reference/infer.py:40-43) — load_generator

@@ -148,3 +148,25 @@ def test_video_cli_writer_error_surfaces(small_video, ae_export, tmp_path,
         vmod.main(["--input_video", small_video, "--output_video", out,
                    "--model", ae_export, "--max_frames", "2", "--score",
                    "0", "--tile", "0", "--fast", "0"])
+
+
+def test_peek_calib_frames_without_frame_count(small_video, monkeypatch,
+                                               capsys):
+    """Some containers/streams report CAP_PROP_FRAME_COUNT as 0; the q8
+    calibration peek must fall back to sequential sampling instead of
+    silently collapsing to a single frame_start frame (ADVICE r4 #4)."""
+    import cv2 as _cv2
+
+    from denoise_gan_tpu.infer import video as vmod
+
+    class _NoCountCap(_cv2.VideoCapture):
+        def get(self, prop):
+            if prop == _cv2.CAP_PROP_FRAME_COUNT:
+                return 0.0
+            return super().get(prop)
+
+    monkeypatch.setattr(_cv2, "VideoCapture", _NoCountCap)
+    frames = vmod._peek_calib_frames(small_video, 0)
+    assert frames is not None and len(frames) >= 1
+    assert frames[0].shape == (48, 64, 3)
+    assert "sampled" in capsys.readouterr().out  # the fallback warns

@@ -105,16 +105,26 @@ def build_fsrgan_generator(gf=32, n_blocks=6):
         inp = x
         in_ch = int(x.shape[-1])
         pw = _make_divisible(gf)
+        # the reference names these layers explicitly (block_N_expand /
+        # expanded_conv_depthwise / *_BN, /root/reference/fsrgan.py:131-176);
+        # reproducing the names makes saved .h5s byte-faithful to reference
+        # artifacts (they exercise keras_h5's custom-name classification)
+        prefix = f"block_{block_id}_" if block_id else "expanded_conv_"
         if block_id:
-            x = keras.layers.Conv2D(6 * in_ch, 1, padding="same")(x)
-            x = keras.layers.BatchNormalization(momentum=0.999,
-                                                epsilon=1e-3)(x)
+            x = keras.layers.Conv2D(6 * in_ch, 1, padding="same",
+                                    name=prefix + "expand")(x)
+            x = keras.layers.BatchNormalization(momentum=0.999, epsilon=1e-3,
+                                                name=prefix + "expand_BN")(x)
             x = keras.layers.ReLU()(x)
-        x = keras.layers.DepthwiseConv2D(3, padding="same")(x)
-        x = keras.layers.BatchNormalization(momentum=0.999, epsilon=1e-3)(x)
+        x = keras.layers.DepthwiseConv2D(3, padding="same",
+                                         name=prefix + "depthwise")(x)
+        x = keras.layers.BatchNormalization(momentum=0.999, epsilon=1e-3,
+                                            name=prefix + "depthwise_BN")(x)
         x = keras.layers.ReLU()(x)
-        x = keras.layers.Conv2D(pw, 1, padding="same")(x)
-        x = keras.layers.BatchNormalization(momentum=0.999, epsilon=1e-3)(x)
+        x = keras.layers.Conv2D(pw, 1, padding="same",
+                                name=prefix + "project")(x)
+        x = keras.layers.BatchNormalization(momentum=0.999, epsilon=1e-3,
+                                            name=prefix + "project_BN")(x)
         if in_ch == pw:
             x = keras.layers.Add()([inp, x])
 
@@ -169,21 +179,29 @@ def build_pix2pix_generator():
     init = tf.random_normal_initializer(0., 0.02)
     inputs = keras.Input((256, 256, 3))
 
+    # the reference wraps each down/upsample stack in a tf.keras.Sequential
+    # (/root/reference/pix2pix.py:113-140); reproducing that makes saved
+    # .h5s carry the same nested weight groups as reference artifacts
+    # (they exercise keras_h5's parent-path weight grouping)
     def down(h, f, bn=True):
-        h = keras.layers.Conv2D(f, 4, strides=2, padding="same",
-                                kernel_initializer=init, use_bias=False)(h)
+        seq = keras.Sequential()
+        seq.add(keras.layers.Conv2D(f, 4, strides=2, padding="same",
+                                    kernel_initializer=init, use_bias=False))
         if bn:
-            h = keras.layers.BatchNormalization()(h)
-        return keras.layers.LeakyReLU()(h)
+            seq.add(keras.layers.BatchNormalization())
+        seq.add(keras.layers.LeakyReLU())
+        return seq(h)
 
     def up(h, f, dropout=False):
-        h = keras.layers.Conv2DTranspose(f, 4, strides=2, padding="same",
-                                         kernel_initializer=init,
-                                         use_bias=False)(h)
-        h = keras.layers.BatchNormalization()(h)
+        seq = keras.Sequential()
+        seq.add(keras.layers.Conv2DTranspose(f, 4, strides=2, padding="same",
+                                             kernel_initializer=init,
+                                             use_bias=False))
+        seq.add(keras.layers.BatchNormalization())
         if dropout:
-            h = keras.layers.Dropout(0.5)(h)
-        return keras.layers.ReLU()(h)
+            seq.add(keras.layers.Dropout(0.5))
+        seq.add(keras.layers.ReLU())
+        return seq(h)
 
     skips = []
     x = inputs

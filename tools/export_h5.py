@@ -75,9 +75,13 @@ def records_from_tree(params, stats, family: str, role: str, scale: int):
 
 def set_keras_weights(model, records) -> None:
     """Assign the record stream onto the Keras model's weighted layers (in
-    construction order — the same order keras_weight_stream reads)."""
+    construction order — the same order keras_weight_stream reads).
+    _walk_layers flattens nested Sequential blocks (the reference pix2pix
+    wraps each down/upsample stack, /root/reference/pix2pix.py:113-140)."""
+    from denoise_gan_tpu.io.keras_h5 import _walk_layers
+
     it = iter(records)
-    for layer in model.layers:
+    for layer in _walk_layers(model):
         if not layer.get_weights():
             continue
         kind, w = next(it)
