@@ -42,8 +42,14 @@ from denoise_gan_tpu.utils.config import TrainConfig
 from denoise_gan_tpu.parallel.mesh import DATA_AXIS
 
 
-def build_train_step(bundle: ModelBundle, cfg: TrainConfig) -> Callable:
-    """Returns step(state, vgg_params, hr01, rng) -> (state, metrics)."""
+def build_train_step(bundle: ModelBundle, cfg: TrainConfig,
+                     degrade: bool = True) -> Callable:
+    """Returns step(state, vgg_params, hr01, rng) -> (state, metrics).
+
+    degrade=False feeds PRE-degraded pairs: ``hr01`` is then an
+    ``(img_in, img_tgt)`` tuple already normalized to [-1, 1] (used by
+    tools/h2h_lockstep.py to drive both frameworks with identical batches;
+    also lets users train on externally-prepared pairs)."""
 
     gen_tx, disc_tx = make_optimizers(cfg, bundle.name)
     from_logits = not bundle.disc_sigmoid
@@ -63,12 +69,15 @@ def build_train_step(bundle: ModelBundle, cfg: TrainConfig) -> Callable:
              rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         quality_rng, dropout_rng, identity_rng = jax.random.split(rng, 3)
-        # --jpeg_quality 0 selects per-image random quality 25..75 on device
-        # (the reference's dormant random_jpeg_quality,
-        # /root/reference/dataloader.py:142-159)
-        img_in, img_tgt = degrade_pair(
-            hr01, cfg.scale, max(cfg.jpeg_quality, 1), rng=quality_rng,
-            random_quality=cfg.jpeg_quality <= 0)
+        if degrade:
+            # --jpeg_quality 0 selects per-image random quality 25..75 on
+            # device (the reference's dormant random_jpeg_quality,
+            # /root/reference/dataloader.py:142-159)
+            img_in, img_tgt = degrade_pair(
+                hr01, cfg.scale, max(cfg.jpeg_quality, 1), rng=quality_rng,
+                random_quality=cfg.jpeg_quality <= 0)
+        else:
+            img_in, img_tgt = hr01
 
         # ---------------- generator loss & grads ----------------
         def gen_loss_fn(gen_params):

@@ -111,3 +111,43 @@ def test_train_step_determinism():
         _, metrics = step(state, vgg, hr, jax.random.key(1))
         outs.append(float(metrics["gen_loss"]))
     assert outs[0] == outs[1]
+
+
+def test_pre_degraded_step_matches_on_device_degradation():
+    """build_train_step(degrade=False) consumes (img_in, img_tgt) pairs
+    directly; feeding it the exact tensors degrade_pair would produce must
+    reproduce the degrade=True step to float tolerance (standalone vs
+    fused-into-the-step degradation round differently under XLA fusion;
+    the lockstep h2h diagnostic depends on this equivalence,
+    tools/h2h_lockstep.py)."""
+    from denoise_gan_tpu.data.degrade import degrade_pair
+
+    cfg = _tiny_cfg("srgan", crop=32, scale=4)
+    bundle = build_models("srgan", scale=cfg.scale)
+    vgg = init_vgg_params(weights_path="/nonexistent")
+    hr = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 1, (2, 32, 32, 3)), jnp.float32)
+    rng = jax.random.key(3)
+
+    state_a = create_train_state(bundle, cfg, jax.random.key(0))
+    step_a = jit_train_step(build_train_step(bundle, cfg))
+    state_a, m_a = step_a(state_a, vgg, hr, rng)
+
+    # replicate the step's internal degradation (step.py folds rng by step)
+    folded = jax.random.fold_in(rng, 0)
+    quality_rng = jax.random.split(folded, 3)[0]
+    pair = degrade_pair(hr, cfg.scale, cfg.jpeg_quality, rng=quality_rng,
+                        random_quality=False)
+
+    state_b = create_train_state(bundle, cfg, jax.random.key(0))
+    step_b = jit_train_step(build_train_step(bundle, cfg, degrade=False))
+    state_b, m_b = step_b(state_b, vgg, pair, rng)
+
+    np.testing.assert_allclose(float(m_a["gen_loss"]),
+                               float(m_b["gen_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m_a["disc_loss"]),
+                               float(m_b["disc_loss"]), rtol=1e-6)
+    worst = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        state_a.gen.params, state_b.gen.params)
+    assert max(jax.tree.leaves(worst)) < 1e-5

@@ -242,6 +242,12 @@ def train_repo(args) -> None:
     c.batch_size = cfg["batch"]
     c.scale = cfg["scale"]
     c.jpeg_quality = cfg["q"]
+    # the TF-CPU baseline trains f32 (no mixed-precision policy is set in
+    # bench_train_tf_cpu.py; Keras fp16 is a GPU path) — match it.  srgan's
+    # reference default is fp16=1, which silently made every repo-side
+    # srgan h2h run train in bf16 against an f32 TF baseline (the r3/r4
+    # srgan deficit's prime suspect — PERF.md round-5 h2h section).
+    c.fp16 = 0
     c.epochs = steps // spe
     c.retrain = 0
     c.ckpt = 0

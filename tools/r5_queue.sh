@@ -93,12 +93,30 @@ step nat_eval 3600 python tools/eval_natural.py \
     --model models/nat_autoencoder.dgt --photos hopper --qs 10,30,50
 step nat_eval_all 3600 python tools/eval_natural.py \
     --model models/nat_autoencoder.dgt --qs 10,30,50
-# matched-init repo-side srgan seed variants: same init, different data/GAN
-# stream — measures the repo-side mi spread the -0.62 dB gap sits in
+# pix2pix matched-init on chip: the CPU fallback run takes ~10-16h on this
+# contended 1-core host but minutes on the chip (and the r3 h2h protocol
+# trained the repo side on TPU) — kill the CPU run and redo it here
+if [ -f /tmp/r5/pix2pix_mi.pid ]; then
+  kill "$(cat /tmp/r5/pix2pix_mi.pid)" 2>/dev/null && echo "killed CPU pix2pix mi"
+fi
+step pix2pix_mi 7200 python tools/h2h_tf_reference.py train_repo \
+    --family pix2pix --matched_init 1
+step pix2pix_mi_score 3600 python tools/h2h_tf_reference.py score_repo \
+    --family pix2pix --matched_init 1
+
+# matched-init srgan rerun at f32 (train_repo now forces fp16=0 to match
+# the f32 TF baseline — the r3/r4 repo srgan runs silently trained bf16,
+# the deficit's prime suspect) plus seed variants: same init, different
+# data/GAN stream — measures the repo-side mi spread the -0.62 dB sits in
+step srgan_mi_f32 7200 python tools/h2h_tf_reference.py train_repo \
+    --family srgan --matched_init 1
+step srgan_mi_f32_score 3600 python tools/h2h_tf_reference.py score_repo \
+    --family srgan --matched_init 1
 for s in 2 3; do
   step srgan_mi_s$s 7200 python tools/h2h_tf_reference.py train_repo \
       --family srgan --matched_init 1 --rseed $s
   step srgan_mi_s${s}_score 3600 python tools/h2h_tf_reference.py score_repo \
       --family srgan --matched_init 1 --rseed $s
 done
+step h2h_report 1800 python tools/h2h_tf_reference.py report
 echo "QUEUE DONE $(date)"
