@@ -360,8 +360,14 @@ def make_step(family: str, return_gen: bool = False,
                 d_real = disc([x, y], training=True)
                 d_fake = disc([x, fake], training=True)
                 ident = gen(y, training=True)
+                # TV is of the ERROR image, mean over batch
+                # (/root/reference/pix2pix.py:78) — an earlier harness
+                # version used reduce_sum(total_variation(fake)), a
+                # materially different smoothing prior that skewed every
+                # pre-r5 TF-side pix2pix h2h run (PERF.md round-5 h2h)
                 gen_loss = (1e-3 * bce(tf.ones_like(d_fake), d_fake)
-                            + 1e-5 * tf.reduce_sum(tf.image.total_variation(fake))
+                            + 1e-5 * tf.reduce_mean(
+                                tf.image.total_variation(y - fake))
                             + mae(y, fake) + mse(y, fake)
                             + content(y, fake) + mae(y, ident))
                 disc_loss = (bce(tf.ones_like(d_real), d_real)

@@ -35,14 +35,17 @@ if ! mkdir "$LOCK" 2>/dev/null; then
 fi
 trap 'rmdir "$LOCK" 2>/dev/null' EXIT
 
-# CPU trainings to pause during phase T (pid files may not exist / may be
-# stale — guard every signal)
-PIDS=""
-for f in /tmp/r5/pix2pix_mi.pid /tmp/r5/natural2.pid; do
-  [ -f "$f" ] && PIDS="$PIDS $(cat $f)"
-done
-pause_cpu()  { for p in $PIDS; do kill -STOP "$p" 2>/dev/null && echo "paused $p"; done; }
-resume_cpu() { for p in $PIDS; do kill -CONT "$p" 2>/dev/null && echo "resumed $p"; done; }
+# CPU trainings to pause during phase T (pid files read AT PAUSE TIME so
+# trainings launched after the queue are covered; files may not exist /
+# may be stale — guard every signal)
+cpu_pids() {
+  for f in /tmp/r5/*.pid; do
+    [ "$f" = /tmp/r5/queue.pid ] && continue
+    [ -f "$f" ] && cat "$f"
+  done
+}
+pause_cpu()  { for p in $(cpu_pids); do kill -STOP "$p" 2>/dev/null && echo "paused $p"; done; }
+resume_cpu() { for p in $(cpu_pids); do kill -CONT "$p" 2>/dev/null && echo "resumed $p"; done; }
 trap 'resume_cpu; rmdir "$LOCK" 2>/dev/null' EXIT
 
 step() {  # step <name> <timeout_s> <cmd...>
