@@ -22,8 +22,10 @@ step() {  # step <name> <timeout_s> <cmd...>
   echo "rc=$? $name $(date -u +%H:%M:%S)"
 }
 
-# quick killable probe so a dead tunnel fails fast instead of hanging
-if ! timeout 240 python -c "
+# killable probe so a dead tunnel fails fast instead of hanging.  600 s:
+# the probe COMPILES a matmul through the tunnel (~1-5 min cold), so the
+# r5_queue.sh 240 s budget false-negatives on a cold cache (seen 02:33Z).
+if ! timeout 600 python -c "
 import jax, jax.numpy as jnp
 a = jnp.ones((256, 256)); b = a * 2
 print(float(jnp.sum(a @ b)))" > "$RES/probe.log" 2>&1; then
